@@ -1,0 +1,182 @@
+"""MaskGIT DynamicsModel (Flax): masked token training + iterative decode.
+
+TPU-native re-implementation of the reference `DynamicsModel`
+(`/root/reference/genie/dynamics.py`). The trunk is a blueprint-assembled
+factorized ST-transformer over token embeddings with additive per-frame
+action embeddings (`dynamics.py:44-64`).
+
+Key differences vs the reference (intended semantics, SURVEY.md 2.11.2):
+  * `compute_loss` computes cross-entropy against the ORIGINAL tokens (the
+    reference overwrites its targets with the masked fill, `dynamics.py:83,94`).
+  * `generate` feeds committed tokens back into the conditioning grid each
+    step (the reference conditions every step on the all-masked frame,
+    `dynamics.py:136`), and runs as a single compiled `lax.scan` over a
+    static schedule -- one XLA program per (T, steps) shape instead of 25
+    eager dispatches per frame.
+  * All randomness (Bernoulli mask rate/draws, categorical sampling) flows
+    through explicit PRNG keys.
+"""
+from __future__ import annotations
+
+from math import pi
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from open_genie_tpu.modules import parse_blueprint
+from open_genie_tpu.utils import default
+
+
+def get_schedule(steps: int, shape: Tuple[int, int], which: str = "linear") -> np.ndarray:
+    """Tokens-per-step schedule summing exactly to `h * w`.
+
+    Matches the reference (`dynamics.py:167-195`): linear / cosine / arccos
+    ramps, min 1 token per step, remainder on the last step. Computed with
+    numpy -- the schedule is static under jit.
+    """
+    n = int(np.prod(shape))
+    t = np.linspace(1, 0, steps)
+    if which == "linear":
+        s = 1 - t
+    elif which == "cosine":
+        s = np.cos(t * pi * 0.5)
+    elif which == "arccos":
+        s = np.arccos(t) / (pi * 0.5)
+    else:
+        raise ValueError(f"Unknown schedule type: {which}")
+    schedule = (s / s.sum()) * n
+    schedule = np.clip(np.round(schedule).astype(np.int32), 1, None)
+    schedule[-1] += n - schedule.sum()
+    return schedule
+
+
+class DynamicsModel(nn.Module):
+    """MaskGIT over `(B, T, H, W)` token grids with `(B, T)` action ids."""
+
+    desc: Any  # Blueprint
+    tok_vocab: int
+    act_vocab: int
+    embed_dim: int
+
+    def setup(self):
+        self.layers, self.ext_kw = parse_blueprint(self.desc)
+        self.tok_emb = nn.Embed(self.tok_vocab, self.embed_dim)
+        self.act_emb = nn.Embed(self.act_vocab, self.embed_dim)
+        self.head = nn.Dense(self.tok_vocab)
+
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        act_id: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """Token/action grids -> per-position vocab logits `(B, T, H, W, V)`.
+
+        Actions are embedded per frame and broadcast-added over the spatial
+        grid (`dynamics.py:34-38,55`).
+        """
+        x = self.tok_emb(tokens) + self.act_emb(act_id)[:, :, None, None, :]
+        for layer, has_ext in zip(self.layers, self.ext_kw):
+            x = layer(x, train=train)
+        return self.head(x)
+
+    def compute_loss(
+        self,
+        tokens: jnp.ndarray,
+        act_id: jnp.ndarray,
+        key: jax.Array,
+        mask: Optional[jnp.ndarray] = None,
+        fill: int = 0,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, dict]:
+        """Bernoulli-masked token cross-entropy (`dynamics.py:66-99`).
+
+        Mask rate ~ U(0.5, 1); loss only on masked positions, against the
+        original (pre-fill) tokens. Gradients do not flow into `act_id`
+        (int indices carry none anyway; the reference's `.detach()` guards
+        the same boundary).
+        """
+        b, t, h, w = tokens.shape
+        if mask is None:
+            key_rate, key_mask = jax.random.split(key)
+            rate = jax.random.uniform(key_rate, (), minval=0.5, maxval=1.0)
+            mask = jax.random.bernoulli(key_mask, rate, (b, t, h, w))
+
+        inp = jnp.where(mask, jnp.asarray(fill, tokens.dtype), tokens)
+        logits = self(inp, act_id, train=train)
+
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tok_logp = jnp.take_along_axis(logp, tokens[..., None], axis=-1)[..., 0]
+        masked = mask.astype(jnp.float32)
+        loss = -(tok_logp * masked).sum() / jnp.maximum(masked.sum(), 1.0)
+
+        acc = (
+            (jnp.argmax(logits, axis=-1) == tokens).astype(jnp.float32) * masked
+        ).sum() / jnp.maximum(masked.sum(), 1.0)
+        return loss, {"masked_frac": masked.mean(), "masked_acc": acc}
+
+    def generate(
+        self,
+        tokens: jnp.ndarray,
+        act_id: jnp.ndarray,
+        key: jax.Array,
+        steps: int = 10,
+        which: str = "linear",
+        temp: float = 1.0,
+        masked_tok: int = 0,
+    ) -> jnp.ndarray:
+        """Append one frame via iterative confidence-based masked decoding.
+
+        Args:
+          tokens: history `(B, T, H, W)` int token grid.
+          act_id: `(B, T)` actions; `act_id[:, -1]` is the action driving the
+            new frame. The appended (all-masked) frame carries a zero action
+            slot, matching the reference's `mock` (`dynamics.py:126`).
+          key: PRNG key for the per-step categorical sampling.
+          steps/which/temp: schedule config (static under jit).
+
+        Returns `(B, T+1, H, W)` tokens with the generated frame appended.
+        """
+        b, t, h, w = tokens.shape
+        schedule = jnp.asarray(get_schedule(steps, (h, w), which))
+        keys = jax.random.split(key, steps)
+
+        new_frame = jnp.full((b, 1, h, w), masked_tok, dtype=tokens.dtype)
+        buf = jnp.concatenate([tokens, new_frame], axis=1)
+        acts = jnp.concatenate(
+            [act_id, jnp.zeros((b, 1), act_id.dtype)], axis=1
+        )
+
+        mask0 = jnp.ones((b, h * w), dtype=bool)
+        code0 = jnp.full((b, h * w), masked_tok, dtype=tokens.dtype)
+
+        def step(carry, inp):
+            mask, code = carry
+            num_tokens, k = inp
+
+            # Condition on the committed-so-far frame (bug fix vs reference).
+            frame = jnp.where(mask, masked_tok, code).reshape(b, h, w)
+            grid = buf.at[:, -1].set(frame)
+            logits = self(grid, acts)[:, -1]  # (B, H, W, V)
+            logits = logits.reshape(b, h * w, -1).astype(jnp.float32) / temp
+
+            pred = jax.random.categorical(k, logits, axis=-1)  # (B, HW)
+            prob = jax.nn.softmax(logits, axis=-1)
+            conf = jnp.take_along_axis(prob, pred[..., None], axis=-1)[..., 0]
+            conf = jnp.where(mask, conf, -jnp.inf)
+
+            # Commit the `num_tokens` highest-confidence masked positions.
+            order = jnp.argsort(-conf, axis=-1)
+            rank = jnp.argsort(order, axis=-1)
+            commit = (rank < num_tokens) & mask
+
+            code = jnp.where(commit, pred.astype(code.dtype), code)
+            mask = mask & ~commit
+            return (mask, code), None
+
+        (mask, code), _ = lax.scan(step, (mask0, code0), (schedule, keys))
+        return buf.at[:, -1].set(code.reshape(b, h, w))

@@ -1,0 +1,147 @@
+"""MagViT2-style VideoTokenizer (Flax, channels-last).
+
+TPU-native re-implementation of the reference `VideoTokenizer`
+(`/root/reference/genie/tokenizer.py:225-442`). Pure model: encode ->
+LFQ-quantize -> decode. The training-only loss stack (reconstruction + GAN +
+perceptual + quantization, reference `tokenizer.py:352-387`) lives in
+`open_genie_tpu.train.losses` so the model stays a clean function of its
+inputs (the reference conflates model and Lightning train module; SURVEY.md
+section 1 calls for the split).
+
+Layout: `(B, T, H, W, C)` channels-last. The reference's channels-first
+public convention is available via `open_genie_tpu.utils.to_channels_last`.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+from open_genie_tpu.modules import parse_blueprint
+from open_genie_tpu.modules.quantization import LookupFreeQuantization
+from open_genie_tpu.utils import Blueprint, default
+
+
+def _last_out_channels(blueprint: Blueprint) -> Optional[int]:
+    """Last explicit `out_channels` in a blueprint (enc output width)."""
+    out = None
+    for desc in blueprint:
+        if isinstance(desc, str):
+            continue
+        _, kwargs = desc
+        for key in ("out_channels", "n_embd", "d_out"):
+            if kwargs.get(key) is not None:
+                out = kwargs[key]
+    return out
+
+
+def _first_in_channels(blueprint: Blueprint) -> Optional[int]:
+    for desc in blueprint:
+        if isinstance(desc, str):
+            continue
+        _, kwargs = desc
+        for key in ("in_channels", "n_embd", "d_inp"):
+            if kwargs.get(key) is not None:
+                return kwargs[key]
+    return None
+
+
+class VideoTokenizer(nn.Module):
+    """Blueprint-assembled video tokenizer with lookup-free quantization.
+
+    Fields mirror the reference constructor (`tokenizer.py:233-259`); loss
+    weights live in the training config instead of the model.
+    """
+
+    enc_desc: Any  # Blueprint
+    dec_desc: Any  # Blueprint
+    d_codebook: int = 18
+    n_codebook: int = 1
+    lfq_bias: bool = True
+    lfq_frac_sample: float = 1.0
+    lfq_commit_weight: float = 0.25
+    lfq_entropy_weight: float = 0.1
+    lfq_diversity_weight: float = 1.0
+
+    def setup(self):
+        self.enc_layers, self.enc_ext = parse_blueprint(self.enc_desc)
+        self.dec_layers, self.dec_ext = parse_blueprint(self.dec_desc)
+
+        last_enc = _last_out_channels(self.enc_desc)
+        first_dec = _first_in_channels(self.dec_desc)
+        assert last_enc == first_dec, (
+            f"Inconsistent encoder/decoder dimensions: {last_enc} vs {first_dec}"
+        )
+
+        self.quant = LookupFreeQuantization(
+            codebook_dim=self.d_codebook,
+            num_codebook=self.n_codebook,
+            input_dim=last_enc,
+            use_bias=self.lfq_bias,
+            frac_sample=self.lfq_frac_sample,
+            commit_weight=self.lfq_commit_weight,
+            entropy_weight=self.lfq_entropy_weight,
+            diversity_weight=self.lfq_diversity_weight,
+        )
+
+    def encode(self, video, cond=None, train: bool = False):
+        """Run the encoder stack (`tokenizer.py:307-317`)."""
+        x = video
+        for layer, has_ext in zip(self.enc_layers, self.enc_ext):
+            x = layer(x, cond=cond if has_ext else None, train=train)
+        return x
+
+    def decode(self, quant, cond=None, train: bool = False):
+        """Run the decoder stack; `cond` defaults to the quantized latents
+        themselves -- this is how AdaptiveGroupNorm conditioning is wired
+        (`tokenizer.py:319-330`)."""
+        cond = default(cond, quant)
+        x = quant
+        for layer, has_ext in zip(self.dec_layers, self.dec_ext):
+            x = layer(x, cond=cond if has_ext else None, train=train)
+        return x
+
+    def quantize(self, enc_video, beta: float = 100.0, training: bool = False):
+        return self.quant(enc_video, beta=beta, training=training)
+
+    def tokenize(self, video, beta: float = 100.0):
+        """Video -> (quantized latents, integer token grid). Eval mode, no
+        loss; callers that must not backprop wrap in `lax.stop_gradient`
+        (`tokenizer.py:332-350` uses `no_grad`)."""
+        enc = self.encode(video, train=False)
+        (quant, idxs), _, _ = self.quant(enc, beta=beta, training=False)
+        return quant, idxs
+
+    def decode_tokens(self, idxs, beta: float = 100.0):
+        """Integer token grid -> video, via the LFQ codebook."""
+        from open_genie_tpu.ops.lfq import codebook_entries
+
+        quant = codebook_entries(idxs, self.d_codebook)
+        return self.decode(quant)
+
+    def __call__(
+        self,
+        video,
+        beta: float = 100.0,
+        train: bool = False,
+    ) -> Tuple[jnp.ndarray, dict]:
+        """Full forward: encode -> quantize -> decode.
+
+        Returns `(rec_video, out)` with `out` carrying `quant`, `idxs`,
+        `quant_loss` (None in eval) and LFQ aux metrics. The combined
+        training loss (incl. the `tokenizer.py:375` precedence-bug fix) is
+        assembled in `train/losses.py`.
+        """
+        enc = self.encode(video, train=train)
+        (quant, idxs), quant_loss, aux = self.quant(
+            enc, beta=beta, training=train
+        )
+        rec = self.decode(quant, train=train)
+        return rec, {
+            "quant": quant,
+            "idxs": idxs,
+            "quant_loss": quant_loss,
+            "lfq_aux": aux,
+        }

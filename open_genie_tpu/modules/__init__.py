@@ -1,0 +1,184 @@
+"""Blueprint DSL & module registry.
+
+TPU-native equivalent of the reference's declarative assembly layer
+(`/root/reference/genie/module/__init__.py:23-93`): a string-keyed registry
+of Flax module constructors plus `parse_blueprint`, which expands a sequence
+of `(name, kwargs)` descriptors (with `n_rep` repetition and `has_ext`
+external-conditioning flags) into a list of module instances. Registry names
+match the reference exactly so reference YAML blueprints load verbatim; YAML
+list-of-lists forms are accepted alongside tuples.
+
+Extra names vs the reference registry:
+  * `spacetime_upsample` -- referenced by the stock latent-action decoder
+    blueprint (`genie/__init__.py:41`) but missing from the reference's own
+    registry (stale DSL).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple, Type
+
+import flax.linen as nn
+
+from open_genie_tpu.modules.attention import (
+    Attention,
+    SpaceTimeAttention,
+    SpatialAttention,
+    TemporalAttention,
+)
+from open_genie_tpu.modules.image import (
+    BlurPooling2d,
+    ImageResidualBlock,
+    SpaceDownsample,
+)
+from open_genie_tpu.modules.misc import Activation, ForwardBlock
+from open_genie_tpu.modules.norm import AdaptiveGroupNorm, GroupNorm
+from open_genie_tpu.modules.quantization import LookupFreeQuantization
+from open_genie_tpu.modules.video import (
+    BlurPooling3d,
+    CausalConv3d,
+    CausalConvTranspose3d,
+    DepthToSpaceTimeUpsample,
+    DepthToSpaceUpsample,
+    DepthToTimeUpsample,
+    SpaceTimeDownsample,
+    SpaceTimeUpsample,
+    VideoResidualBlock,
+)
+from open_genie_tpu.utils import Blueprint
+
+_ACTIVATIONS = ("gelu", "relu", "leaky_relu", "silu")
+
+_REGISTRY: Dict[str, Type[nn.Module]] = {
+    # * Attention modules
+    "space_attn": SpatialAttention,
+    "time_attn": TemporalAttention,
+    "space-time_attn": SpaceTimeAttention,
+    # * Image modules
+    "blur_pool": BlurPooling2d,
+    "space_downsample": SpaceDownsample,
+    "image-residual": ImageResidualBlock,
+    # * Video modules
+    "video-residual": VideoResidualBlock,
+    "causal-conv3d": CausalConv3d,
+    "causal-conv3d-transpose": CausalConvTranspose3d,
+    "depth2space_upsample": DepthToSpaceUpsample,
+    "depth2time_upsample": DepthToTimeUpsample,
+    "depth2spacetime_upsample": DepthToSpaceTimeUpsample,
+    "spacetime_downsample": SpaceTimeDownsample,
+    "spacetime_upsample": SpaceTimeUpsample,
+    # * Norm modules
+    "group_norm": GroupNorm,
+    "adaptive_group_norm": AdaptiveGroupNorm,
+}
+
+
+def get_module(name: str) -> Type[nn.Module]:
+    """Resolve a registry name to a Flax module class."""
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    if name in _ACTIVATIONS:
+        return Activation
+    raise ValueError(f"Unknown module name: {name}")
+
+
+def _sanitize_kwargs(name: str, kwargs: Dict[str, Any]) -> Dict[str, Any]:
+    """Normalize YAML-sourced kwargs (lists -> tuples, activation fn)."""
+    out = {}
+    for k, v in kwargs.items():
+        if isinstance(v, list):
+            v = tuple(v)
+        if isinstance(v, dict):
+            v = {kk: tuple(vv) if isinstance(vv, list) else vv for kk, vv in v.items()}
+        out[k] = v
+    if name in _ACTIVATIONS:
+        out["fn"] = name
+    return out
+
+
+def parse_blueprint(
+    blueprint: Blueprint, named: bool = False
+) -> Tuple[List[nn.Module], List[bool]]:
+    """Expand a blueprint into `(module_instances, has_ext_flags)`.
+
+    Matches the reference parser (`genie/module/__init__.py:71-93`): string
+    entries mean `(name, {})`; `n_rep` repeats a module N times; `has_ext`
+    marks a layer as taking external conditioning and is returned as a
+    parallel bool list.
+
+    `named=True` gives layers stable descriptive Flax names (only valid in an
+    `@nn.compact` context); `named=False` (for `setup`-assigned lists, where
+    Flax forbids explicit names) lets Flax autoname them by list position.
+    """
+    layers: List[nn.Module] = []
+    ext_kw: List[bool] = []
+
+    for li, desc in enumerate(blueprint):
+        if isinstance(desc, str):
+            desc = (desc, {})
+        name, kwargs = desc
+        kwargs = dict(kwargs)
+        has_ext = bool(kwargs.pop("has_ext", False))
+        n_rep = int(kwargs.pop("n_rep", 1))
+        kwargs = _sanitize_kwargs(name, kwargs)
+        cls = get_module(name)
+        for r in range(n_rep):
+            if named:
+                kwargs_n = dict(
+                    kwargs, name=f"layer_{li}_{r}_{name}".replace("-", "_")
+                )
+            else:
+                kwargs_n = kwargs
+            layers.append(cls(**kwargs_n))
+            ext_kw.append(has_ext)
+
+    return layers, ext_kw
+
+
+class BlueprintStack(nn.Module):
+    """A sequential stack assembled from a blueprint.
+
+    Layers flagged `has_ext` additionally receive `cond`; all layers share
+    the uniform `(x, cond, mask, train)` call signature.
+    """
+
+    blueprint: Any  # Blueprint; kept as Any for dataclass hashing leniency
+
+    def setup(self):
+        self.layers, self.ext_flags = parse_blueprint(self.blueprint)
+
+    def __call__(self, x, cond=None, mask=None, train: bool = False):
+        for layer, has_ext in zip(self.layers, self.ext_flags):
+            x = layer(
+                x,
+                cond=cond if has_ext else None,
+                mask=mask,
+                train=train,
+            )
+        return x
+
+    @property
+    def st_factor(self) -> float:
+        """Product of space-time resampling factors across the stack."""
+        layers, _ = parse_blueprint(self.blueprint)
+        fact = 1.0
+        for layer in layers:
+            if hasattr(layer, "st_factor"):
+                fact *= layer.st_factor
+        return fact
+
+
+def blueprint_st_factor(blueprint: Blueprint) -> float:
+    """Space-time factor of a blueprint without instantiating parameters."""
+    fact = 1.0
+    for desc in blueprint:
+        if isinstance(desc, str):
+            desc = (desc, {})
+        name, kwargs = desc
+        kwargs = {k: v for k, v in dict(kwargs).items() if k not in ("has_ext",)}
+        n_rep = int(kwargs.pop("n_rep", 1))
+        cls = get_module(name)
+        if not hasattr(cls, "st_factor"):
+            continue
+        mod = cls(**_sanitize_kwargs(name, kwargs))
+        fact *= mod.st_factor ** n_rep
+    return fact

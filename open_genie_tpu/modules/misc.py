@@ -1,0 +1,78 @@
+"""Misc modules: ForwardBlock (MLP/conv FFN) and activation wrappers.
+
+Equivalents of `/root/reference/genie/module/misc.py:71-104` plus the
+activation registry entries (`genie/module/__init__.py:58-67`). The
+reference's forward-hook probes (`NamingProbe`/`RecordingProbe`) have no JAX
+equivalent by design -- feature taps are returned explicitly by the VGG
+module instead (see `open_genie_tpu.modules.vgg`).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import flax.linen as nn
+
+from open_genie_tpu.utils import cast_tuple, default
+
+
+class ForwardBlock(nn.Module):
+    """GroupNorm -> (block -> act) chain.
+
+    `block` selects the mixing op: 'dense' (Linear), 'conv2d' or 'conv3d'
+    (channels-last convs; the reference wraps Conv3d in layout rearranges,
+    unnecessary here). `hid_dim` may be an int, tuple, or None (no hidden
+    layer).
+    """
+
+    in_dim: int
+    out_dim: Optional[int] = None
+    hid_dim: Optional[Union[int, Tuple[int, ...]]] = 256
+    block: str = "dense"
+    num_groups: int = 1
+    last_act: bool = False
+    use_bias: bool = True
+    kernel_size: int = 1
+
+    @nn.compact
+    def __call__(self, x, cond=None, mask=None, train: bool = False):
+        out_dim = default(self.out_dim, self.in_dim)
+        hid = self.hid_dim
+        if isinstance(hid, int):
+            hid = (hid,)
+        hid = default(hid, ())
+        dims = tuple(hid) + (out_dim,)
+
+        def mix(h, features, name):
+            if self.block == "dense":
+                return nn.Dense(features, use_bias=self.use_bias, name=name)(h)
+            nd = 2 if self.block == "conv2d" else 3
+            k = cast_tuple(self.kernel_size, nd)
+            pad = tuple(((kk - 1) // 2, (kk - 1) // 2) for kk in k)
+            return nn.Conv(
+                features,
+                kernel_size=k,
+                padding=pad,
+                use_bias=self.use_bias,
+                name=name,
+            )(h)
+
+        h = nn.GroupNorm(num_groups=self.num_groups, name="norm")(x)
+        for i, features in enumerate(dims):
+            h = mix(h, features, f"block_{i}")
+            if i < len(dims) - 1 or self.last_act:
+                h = nn.gelu(h)
+        return h
+
+
+class Activation(nn.Module):
+    """Parameter-free activation as a blueprint module ('gelu', 'relu', ...)."""
+
+    fn: str = "gelu"
+
+    def __call__(self, x, cond=None, mask=None, train: bool = False):
+        return {
+            "gelu": nn.gelu,
+            "relu": nn.relu,
+            "leaky_relu": lambda v: nn.leaky_relu(v, negative_slope=0.01),
+            "silu": nn.silu,
+        }[self.fn](x)

@@ -1,0 +1,97 @@
+"""Lookup-Free Quantization module (Flax).
+
+Module wrapper over `open_genie_tpu.ops.lfq` matching the reference
+`LookupFreeQuantization` (`/root/reference/genie/module/quantization.py`)
+API: optional in/out projections when `input_dim != codebook_dim *
+num_codebook`, sign quantization with a straight-through estimator, integer
+code indices from the positive-bit mask, and an entropy + commitment training
+loss.
+
+The entropy terms never materialize the `(B*N, 2^d)` logit matrix (the
+reference's hot spot at d=18); see `ops/lfq.py` for the factorized /
+blockwise math. The diversity term is *subtracted* (MagViT-2 semantics); the
+reference adds it (`quantization.py:125`), which would penalize codebook
+diversity.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from open_genie_tpu.ops import lfq as lfq_ops
+from open_genie_tpu.utils import default
+
+
+class LookupFreeQuantization(nn.Module):
+    codebook_dim: int
+    num_codebook: int = 1
+    input_dim: Optional[int] = None
+    use_bias: bool = True
+    frac_sample: float = 1.0  # accepted for API compat (unused in reference too)
+    commit_weight: float = 0.25
+    entropy_weight: float = 0.1
+    diversity_weight: float = 1.0
+
+    @property
+    def codebook_size(self) -> int:
+        return (2 ** self.codebook_dim) * self.num_codebook
+
+    def codebook(self) -> jnp.ndarray:
+        """`(codebook_size, codebook_dim)` sign-vector codebook."""
+        return lfq_ops.codebook_entries(
+            jnp.arange(self.codebook_size), self.codebook_dim
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        beta: float = 100.0,
+        training: bool = False,
+    ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], Optional[jnp.ndarray], dict]:
+        """Quantize `(..., D)` features (channels-last).
+
+        Returns `((out, idxs), loss, aux)`; `loss` is None outside training.
+        `idxs` has shape `(..., num_codebook)` squeezed to `(...)` when a
+        single codebook is used, matching the reference (`quantization.py:110`).
+
+        NOTE: unlike the reference, `input_dim` defaults to `codebook_dim *
+        num_codebook` (no projection). The reference defaults it to the full
+        `codebook_size`, which breaks its own LatentAction usage
+        (`genie/action.py:93-101` feeds `d_codebook`-dim features into a
+        `Linear(2^d, d)`).
+        """
+        d, c = self.codebook_dim, self.num_codebook
+        input_dim = default(self.input_dim, d * c)
+        project = input_dim != d * c
+
+        leading = x.shape[:-1]
+        if project:
+            x = nn.Dense(d * c, use_bias=self.use_bias, name="proj_inp")(x)
+
+        # Split per codebook: (..., c, d)
+        x = x.reshape(*leading, c, d)
+        code, idxs = lfq_ops.lfq_quantize(x, d, training=training)
+        quant = jnp.sign(x)
+
+        out = code.reshape(*leading, c * d)
+        if project:
+            out = nn.Dense(input_dim, use_bias=self.use_bias, name="proj_out")(out)
+
+        if c == 1:
+            idxs = idxs.squeeze(-1)
+
+        if not training:
+            return (out, idxs), None, {}
+
+        loss, aux = lfq_ops.lfq_loss(
+            x,
+            quant,
+            beta=beta,
+            commit_weight=self.commit_weight,
+            entropy_weight=self.entropy_weight,
+            diversity_weight=self.diversity_weight,
+        )
+        return (out, idxs), loss, aux

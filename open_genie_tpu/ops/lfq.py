@@ -1,0 +1,186 @@
+"""Lookup-Free Quantization (LFQ) ops, TPU-first.
+
+Re-implements the math of the reference `LookupFreeQuantization`
+(`/root/reference/genie/module/quantization.py:32-133`, MagViT-2 Eq. 3) with
+a key algorithmic upgrade: the reference materializes a `(B*N, 2^d)` logit
+matrix against the full codebook to compute its entropy losses -- at the
+default `d=18` that is a 262144-way softmax per token, the hottest non-conv
+op in tokenizer training. Here:
+
+  * The **per-sample entropy** is computed in closed form: the softmax over
+    all `2^d` sign codewords factorizes into `d` independent Bernoullis with
+    `p_i = sigmoid(4 * beta * x_i)`, so the entropy is the sum of `d` binary
+    entropies -- O(d) instead of O(2^d) per token, exact.
+  * The **batch-average (diversity) entropy** does not factorize (a mixture
+    of products is not a product), so it is computed blockwise over codebook
+    chunks with rematerialization: the per-sample log-normalizer also has a
+    closed form `logZ = sum_i log(2 cosh(2 beta x_i))`, so each chunk is a
+    single matmul + exp, and the full `(B*N, 2^d)` matrix never exists in
+    HBM.
+
+Sign convention matches the reference: bit i of the code index is 1 iff
+`x_i > 0`, with `bit_mask = 2^(d-1..0)` (MSB = first feature).
+
+Note on intended-vs-reference semantics: the reference *adds* the average
+entropy to the loss (`quantization.py:125`), which would penalize codebook
+diversity; MagViT-2 and the survey's intended semantics subtract it. This
+implementation returns both terms separately and the module layer combines
+them as `sample_entropy - diversity_weight * avg_entropy`.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Codebook sizes up to this bound use the direct (single-matmul) path; above
+# it the chunked path streams over the codebook.
+_DIRECT_MAX_CODES = 4096
+_CHUNK = 4096
+
+
+def bit_mask(codebook_dim: int) -> jnp.ndarray:
+    """`(d,)` powers of two, MSB-first: `[2^(d-1), ..., 2, 1]`."""
+    return jnp.asarray(2 ** jnp.arange(codebook_dim - 1, -1, -1), dtype=jnp.int32)
+
+
+def codebook_entries(idxs: jnp.ndarray, codebook_dim: int) -> jnp.ndarray:
+    """Map integer code indices to their `{-1, +1}^d` codewords."""
+    bits = (idxs[..., None] & bit_mask(codebook_dim)) != 0
+    return 2.0 * bits.astype(jnp.float32) - 1.0
+
+
+def lfq_quantize(
+    x: jnp.ndarray, codebook_dim: int, training: bool = True
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sign-quantize `(..., d)` features; return (code, indices).
+
+    When `training`, the straight-through estimator routes gradients around
+    the sign: `code = x + stop_grad(sign(x) - x)`.
+    """
+    quant = jnp.sign(x)
+    idxs = jnp.sum(
+        (x > 0).astype(jnp.int32) * bit_mask(codebook_dim), axis=-1
+    )
+    if training:
+        code = x + lax.stop_gradient(quant - x)
+    else:
+        code = quant
+    return code, idxs
+
+
+def lfq_sample_entropy(x: jnp.ndarray, beta: float = 100.0) -> jnp.ndarray:
+    """Exact per-sample codeword entropy, closed form, O(d).
+
+    `p(c) ∝ exp(2 beta <x, c>)` over `c ∈ {-1,+1}^d` factorizes per bit with
+    `p_i(+1) = sigmoid(4 beta x_i)`; the entropy is the sum of binary
+    entropies. Returns the mean over all leading axes (scalar).
+    """
+    a = 4.0 * beta * x.astype(jnp.float32)
+    # Binary entropy of sigmoid(a): softplus(-a)*sigmoid(a) + softplus(a)*sigmoid(-a)
+    # written stably as softplus(a) - a * sigmoid(a).
+    ent_bits = jax.nn.softplus(a) - a * jax.nn.sigmoid(a)
+    return jnp.mean(jnp.sum(ent_bits, axis=-1))
+
+
+def _log_normalizer(x: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """`logZ = sum_i log(2 cosh(2 beta x_i))`, numerically stable."""
+    a = 2.0 * beta * x
+    return jnp.sum(jnp.abs(a) + jnp.log1p(jnp.exp(-2.0 * jnp.abs(a))), axis=-1)
+
+
+def lfq_avg_probs_direct(x: jnp.ndarray, beta: float = 100.0) -> jnp.ndarray:
+    """Batch-averaged codeword distribution `(2^d,)` -- direct path.
+
+    `x` is `(n, d)`. Materializes the full `(n, 2^d)` softmax; only used for
+    small codebooks (e.g. the d=8 action codebook) and as the test oracle.
+    """
+    n, d = x.shape
+    codes = codebook_entries(jnp.arange(2 ** d), d)  # (2^d, d)
+    logits = 2.0 * beta * (x.astype(jnp.float32) @ codes.T)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.mean(probs, axis=0)
+
+
+def lfq_avg_entropy(
+    x: jnp.ndarray, beta: float = 100.0, eps: float = 1e-6
+) -> jnp.ndarray:
+    """Entropy of the batch-averaged codeword distribution (scalar).
+
+    `x` is `(n, d)` (flatten leading axes first). Chooses the direct or the
+    chunked-streaming path based on `2^d`.
+    """
+    n, d = x.shape
+    num_codes = 2 ** d
+    if num_codes <= _DIRECT_MAX_CODES:
+        q = lfq_avg_probs_direct(x, beta)
+        return -jnp.sum(q * jnp.log(jnp.maximum(q, eps)))
+    return _lfq_avg_entropy_chunked(x, beta, eps)
+
+
+def _lfq_avg_entropy_chunked(
+    x: jnp.ndarray, beta: float, eps: float
+) -> jnp.ndarray:
+    """Streaming avg-distribution entropy for large codebooks.
+
+    Two facts make this cheap: the per-sample normalizer is closed-form (no
+    first pass over the codebook needed), and the entropy is a sum over
+    codewords, so we accumulate `-q_j log q_j` chunk by chunk. Each chunk is
+    one `(n, chunk)` matmul; `jax.checkpoint` keeps backward memory at one
+    chunk as well.
+    """
+    n, d = x.shape
+    num_codes = 2 ** d
+    chunk = min(_CHUNK, num_codes)
+    num_chunks = num_codes // chunk
+    xf = x.astype(jnp.float32)
+    log_z = _log_normalizer(xf, beta)  # (n,)
+    mask = bit_mask(d)
+
+    @jax.checkpoint
+    def chunk_entropy(start):
+        idxs = start + jnp.arange(chunk)
+        codes = 2.0 * ((idxs[:, None] & mask) != 0).astype(jnp.float32) - 1.0
+        log_p = 2.0 * beta * (xf @ codes.T) - log_z[:, None]  # (n, chunk)
+        q = jnp.mean(jnp.exp(log_p), axis=0)  # (chunk,)
+        return -jnp.sum(q * jnp.log(jnp.maximum(q, eps)))
+
+    starts = jnp.arange(num_chunks) * chunk
+    ents = lax.map(chunk_entropy, starts)
+    return jnp.sum(ents)
+
+
+def lfq_loss(
+    x: jnp.ndarray,
+    quant: jnp.ndarray,
+    beta: float = 100.0,
+    commit_weight: float = 0.25,
+    entropy_weight: float = 0.1,
+    diversity_weight: float = 1.0,
+) -> Tuple[jnp.ndarray, dict]:
+    """Full LFQ training loss on `(..., d)` pre-quantization features.
+
+    Returns `(loss, aux)` where aux holds the individual terms. `quant` is
+    the sign-quantized target for the commitment MSE (gradients blocked).
+    """
+    d = x.shape[-1]
+    flat = x.reshape(-1, d)
+
+    sample_ent = lfq_sample_entropy(flat, beta)
+    avg_ent = lfq_avg_entropy(flat, beta)
+    entropy_loss = sample_ent - diversity_weight * avg_ent
+
+    commit_loss = jnp.mean(
+        (x.astype(jnp.float32) - lax.stop_gradient(quant.astype(jnp.float32)))
+        ** 2
+    )
+
+    loss = entropy_weight * entropy_loss + commit_weight * commit_loss
+    aux = {
+        "sample_entropy": sample_ent,
+        "avg_entropy": avg_ent,
+        "commit_loss": commit_loss,
+    }
+    return loss, aux

@@ -1,0 +1,120 @@
+"""Attention stack tests: shapes, causality, conditioning, RoPE.
+
+Mirrors `/root/reference/test/test_attention.py` with added causality and
+cross-attention semantics checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_genie_tpu.modules.attention import (
+    Attention,
+    SpaceTimeAttention,
+    SpatialAttention,
+    TemporalAttention,
+)
+from open_genie_tpu.ops.attention import dot_product_attention
+from open_genie_tpu.ops.rope import apply_rope, rope_frequencies
+
+KEY = jax.random.PRNGKey(0)
+B, T, H, W, C = 2, 4, 8, 8, 16
+
+
+def test_core_attention_shape():
+    x = jax.random.normal(KEY, (B, 10, C))
+    mod = Attention(n_head=2, d_head=8)
+    params = mod.init(KEY, x)
+    assert mod.apply(params, x).shape == (B, 10, C)
+
+
+def test_core_attention_causal():
+    mod = Attention(n_head=2, d_head=8, causal=True)
+    x = jax.random.normal(KEY, (1, 10, C))
+    params = mod.init(KEY, x)
+    y0 = mod.apply(params, x)
+    x2 = x.at[:, -1].set(0.0)
+    y1 = mod.apply(params, x2)
+    np.testing.assert_allclose(y0[:, :-1], y1[:, :-1], rtol=2e-5, atol=1e-6)
+
+
+def test_dot_product_attention_matches_naive():
+    q = jax.random.normal(KEY, (1, 2, 6, 4))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 6, 4))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 6, 4))
+    out = dot_product_attention(q, k, v, use_flash=False)
+    probs = jax.nn.softmax((q @ k.transpose(0, 1, 3, 2)) * 4 ** -0.5, axis=-1)
+    np.testing.assert_allclose(out, probs @ v, rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_attention_video_and_image():
+    mod = SpatialAttention(n_head=2, d_head=8)
+    vid = jax.random.normal(KEY, (B, T, H, W, C))
+    params = mod.init(KEY, vid)
+    assert mod.apply(params, vid).shape == (B, T, H, W, C)
+    img = jax.random.normal(KEY, (B, H, W, C))
+    params = mod.init(KEY, img)
+    assert mod.apply(params, img).shape == (B, H, W, C)
+
+
+def test_temporal_attention_causal_over_time():
+    mod = TemporalAttention(n_head=2, d_head=8, causal=True)
+    vid = jax.random.normal(KEY, (1, T, H, W, C))
+    params = mod.init(KEY, vid)
+    y0 = mod.apply(params, vid)
+    vid2 = vid.at[:, -1].set(0.0)
+    y1 = mod.apply(params, vid2)
+    np.testing.assert_allclose(y0[:, :-1], y1[:, :-1], rtol=2e-5, atol=1e-6)
+    # Non-causal attention would leak: check dependence does exist at t=-1
+    assert not np.allclose(y0[:, -1], y1[:, -1])
+
+
+def test_temporal_attention_cross_cond():
+    """Time-wise condition (e.g. latent actions) as cross-attention keys."""
+    mod = TemporalAttention(n_head=2, d_head=8, causal=True)
+    vid = jax.random.normal(KEY, (B, T, H, W, C))
+    cond = jax.random.normal(KEY, (B, T, 8))  # small key dim (actions)
+    params = mod.init(KEY, vid, cond=cond)
+    out = mod.apply(params, vid, cond=cond)
+    assert out.shape == (B, T, H, W, C)
+
+
+def test_spacetime_attention_shapes():
+    mod = SpaceTimeAttention(n_head=2, d_head=8)
+    vid = jax.random.normal(KEY, (B, T, H, W, C))
+    params = mod.init(KEY, vid)
+    assert mod.apply(params, vid).shape == (B, T, H, W, C)
+
+
+def test_spacetime_attention_n_embd_alias():
+    """`n_embd` sets both input and output widths (SURVEY 2.11.5 fix)."""
+    mod = SpaceTimeAttention(n_head=2, d_head=8, n_embd=32)
+    vid = jax.random.normal(KEY, (B, T, H, W, 32))
+    params = mod.init(KEY, vid)
+    assert mod.apply(params, vid).shape == (B, T, H, W, 32)
+
+
+def test_spacetime_attention_time_cond_tuple():
+    mod = SpaceTimeAttention(n_head=2, d_head=8, time_attn_kw={"key_dim": 8})
+    vid = jax.random.normal(KEY, (B, T, H, W, C))
+    cond = (None, jax.random.normal(KEY, (B, T, 8)))
+    params = mod.init(KEY, vid, cond=cond)
+    assert mod.apply(params, vid, cond=cond).shape == (B, T, H, W, C)
+
+
+def test_rope_preserves_norm():
+    freq = rope_frequencies(C, kind="1d")
+    x = jax.random.normal(KEY, (3, 10, C))
+    y = apply_rope(x, freq)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(x), axis=-1),
+        np.linalg.norm(np.asarray(y), axis=-1),
+        rtol=1e-5,
+    )
+
+
+def test_rope_relative_phase():
+    """RoPE at offset k equals shifting positions by k."""
+    freq = rope_frequencies(C, kind="1d")
+    x = jax.random.normal(KEY, (1, 5, C))
+    y1 = apply_rope(jnp.tile(x, (1, 1, 1)), freq, offset=3)
+    big = apply_rope(jnp.concatenate([jnp.zeros((1, 3, C)), x], axis=1), freq)
+    np.testing.assert_allclose(y1, big[:, 3:], rtol=1e-4, atol=1e-5)

@@ -1,0 +1,104 @@
+"""LFQ tests: shape contracts, STE gradients, entropy-math parity.
+
+Mirrors `/root/reference/test/test_quantization.py` plus numeric checks the
+reference lacks (factorized-vs-naive entropy, gradient flow)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_genie_tpu.modules.quantization import LookupFreeQuantization
+from open_genie_tpu.ops.lfq import (
+    _lfq_avg_entropy_chunked,
+    codebook_entries,
+    lfq_avg_probs_direct,
+    lfq_quantize,
+    lfq_sample_entropy,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_quantize_roundtrip_indices():
+    d = 6
+    x = jax.random.normal(KEY, (4, 7, d))
+    code, idxs = lfq_quantize(x, d, training=False)
+    # Codebook lookup of the indices reproduces the sign codes.
+    looked_up = codebook_entries(idxs, d)
+    np.testing.assert_allclose(looked_up, np.sign(np.asarray(x)), atol=0)
+    assert idxs.min() >= 0 and idxs.max() < 2 ** d
+
+
+def test_ste_gradient_is_identity():
+    d = 4
+    x = jax.random.normal(KEY, (3, d))
+
+    def f(x):
+        code, _ = lfq_quantize(x, d, training=True)
+        return jnp.sum(code * jnp.arange(1.0, d + 1))
+
+    g = jax.grad(f)(x)
+    np.testing.assert_allclose(
+        g, np.broadcast_to(np.arange(1.0, d + 1), x.shape), rtol=1e-6
+    )
+
+
+def test_sample_entropy_matches_naive():
+    """Closed-form factorized entropy == explicit softmax entropy."""
+    d, beta = 6, 3.0
+    x = jax.random.normal(KEY, (32, d)) * 0.3
+    closed = lfq_sample_entropy(x, beta)
+
+    codes = codebook_entries(jnp.arange(2 ** d), d)
+    logits = 2.0 * beta * (x @ codes.T)
+    p = jax.nn.softmax(logits, axis=-1)
+    naive = -jnp.sum(p * jnp.log(jnp.maximum(p, 1e-30)), axis=-1).mean()
+    np.testing.assert_allclose(float(closed), float(naive), rtol=1e-3)
+
+
+def test_avg_entropy_chunked_matches_direct():
+    d, beta = 13, 10.0
+    x = jax.random.normal(KEY, (64, d)) * 0.1
+    q = lfq_avg_probs_direct(x, beta)
+    direct = -jnp.sum(q * jnp.log(jnp.maximum(q, 1e-6)))
+    chunked = _lfq_avg_entropy_chunked(x, beta, 1e-6)
+    np.testing.assert_allclose(float(chunked), float(direct), rtol=5e-3)
+
+
+def test_module_train_loss():
+    lfq = LookupFreeQuantization(codebook_dim=8)
+    x = jax.random.normal(KEY, (2, 5, 8))
+    params = lfq.init(KEY, x, training=True)
+    (out, idxs), loss, aux = lfq.apply(params, x, training=True)
+    assert out.shape == x.shape
+    assert idxs.shape == (2, 5)
+    assert np.isfinite(float(loss))
+    assert float(aux["commit_loss"]) >= 0
+
+
+def test_module_eval_no_loss():
+    lfq = LookupFreeQuantization(codebook_dim=8)
+    x = jax.random.normal(KEY, (2, 5, 8))
+    params = lfq.init(KEY, x, training=False)
+    (out, idxs), loss, _ = lfq.apply(params, x, training=False)
+    np.testing.assert_allclose(np.abs(np.asarray(out)), 1.0)
+    assert loss is None
+
+
+def test_module_projection_path():
+    """input_dim != d*c engages in/out projections."""
+    lfq = LookupFreeQuantization(codebook_dim=4, input_dim=16)
+    x = jax.random.normal(KEY, (2, 5, 16))
+    params = lfq.init(KEY, x, training=False)
+    (out, idxs), _, _ = lfq.apply(params, x, training=False)
+    assert out.shape == (2, 5, 16)
+    assert idxs.shape == (2, 5)
+
+
+def test_multi_codebook():
+    lfq = LookupFreeQuantization(codebook_dim=4, num_codebook=2)
+    x = jax.random.normal(KEY, (2, 5, 8))
+    params = lfq.init(KEY, x, training=False)
+    (out, idxs), _, _ = lfq.apply(params, x, training=False)
+    assert out.shape == (2, 5, 8)
+    assert idxs.shape == (2, 5, 2)
