@@ -1,0 +1,138 @@
+"""Command-line entry points.
+
+Equivalents of the reference root scripts (`/root/reference/tokenizer.py`,
+`/root/reference/genie.py` -- 18-line LightningCLI wrappers) plus a
+`generate` command for action-conditioned rollout and a `make-data` command
+replacing `sample.py` (procedural synthetic videos instead of procgen).
+
+Usage:
+  python -m open_genie_tpu.cli train tokenizer --config configs/tokenize.yaml
+  python -m open_genie_tpu.cli train genie     --config configs/genie.yaml
+  python -m open_genie_tpu.cli generate --config configs/genie.yaml \
+      --ckpt checkpoints --frames 16 --out rollout.mp4
+  python -m open_genie_tpu.cli make-data --root data --num-videos 64
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _train(args):
+    from open_genie_tpu.train.config import load_config
+    from open_genie_tpu.train.trainer import train_genie, train_tokenizer
+
+    cfg = load_config(args.config, kind=args.what)
+    if args.max_steps is not None:
+        cfg.trainer.max_steps = args.max_steps
+    if args.what == "tokenizer":
+        train_tokenizer(cfg, resume=args.resume)
+    else:
+        train_genie(cfg, resume=args.resume)
+
+
+def _generate(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_genie_tpu.data.video import SyntheticVideo, write_mp4
+    from open_genie_tpu.train.config import load_config
+    from open_genie_tpu.train.loop import restore_params
+    from open_genie_tpu.train.losses import GenieTrainModule
+
+    cfg = load_config(args.config, kind="genie")
+    module = GenieTrainModule(
+        genie=dict(
+            tokenizer=cfg.model.tokenizer,
+            latent_action=cfg.model.latent_action,
+            dynamics=cfg.model.dynamics,
+        )
+    )
+    key = jax.random.PRNGKey(args.seed)
+    prompt = jnp.asarray(
+        SyntheticVideo(num_frames=1, height=args.size, width=args.size)[0]
+    )[None]
+
+    sample = jnp.zeros((1, 4, args.size, args.size, 3), jnp.float32)
+    from open_genie_tpu.train.loop import create_train_state, make_optimizer
+
+    # Template must carry the FULL param tree (incl. the pixel decoder) to
+    # match training checkpoints; only params are restored (the optimizer
+    # layout is a training-time detail).
+    state = create_train_state(
+        module, sample, key, make_optimizer(),
+        init_kwargs={"method": module.full_init},
+    )
+    params = state.params
+    if args.ckpt:
+        params, _ = restore_params(args.ckpt, params)
+
+    actions = jax.random.randint(key, (1, args.frames + 1), 0, 2)
+    video = module.apply(
+        {"params": params},
+        prompt, actions, key,
+        num_frames=args.frames,
+        steps_per_frame=args.steps_per_frame,
+        method=module.generate,
+    )
+    video = np.asarray(jnp.clip(video[0], 0, 1))
+    write_mp4(args.out, video)
+    print(f"wrote {video.shape[0]} frames to {args.out}")
+
+
+def _make_data(args):
+    import numpy as np
+
+    from open_genie_tpu.data.video import SyntheticVideo, write_mp4
+
+    for split, count in (("train", args.num_videos),
+                         ("val", max(1, args.num_videos // 8))):
+        out_dir = os.path.join(args.root, args.env_name, split)
+        os.makedirs(out_dir, exist_ok=True)
+        ds = SyntheticVideo(
+            num_videos=count, num_frames=args.timeout,
+            height=args.size, width=args.size,
+            seed=0 if split == "train" else 1,
+        )
+        for i in range(count):
+            write_mp4(os.path.join(out_dir, f"{i:04d}.mp4"), ds[i])
+        print(f"wrote {count} videos to {out_dir}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="open-genie-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train", help="train a model from a YAML config")
+    pt.add_argument("what", choices=["tokenizer", "genie"])
+    pt.add_argument("--config", required=True)
+    pt.add_argument("--resume", action="store_true")
+    pt.add_argument("--max-steps", type=int, default=None)
+    pt.set_defaults(fn=_train)
+
+    pg = sub.add_parser("generate", help="action-conditioned video rollout")
+    pg.add_argument("--config", required=True)
+    pg.add_argument("--ckpt", default=None)
+    pg.add_argument("--frames", type=int, default=16)
+    pg.add_argument("--steps-per-frame", type=int, default=25)
+    pg.add_argument("--size", type=int, default=64)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--out", default="rollout.mp4")
+    pg.set_defaults(fn=_generate)
+
+    pd = sub.add_parser("make-data", help="generate a synthetic mp4 dataset")
+    pd.add_argument("--root", required=True)
+    pd.add_argument("--env-name", default="Coinrun")
+    pd.add_argument("--num-videos", type=int, default=16)
+    pd.add_argument("--timeout", type=int, default=100)
+    pd.add_argument("--size", type=int, default=64)
+    pd.set_defaults(fn=_make_data)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,18 @@ class Genie(nn.Module):
             **{f"dyn_{k}": v for k, v in dyn_aux.items()},
         }
 
+    def init_full(self, video: jnp.ndarray, key: jax.Array):
+        """Initialization-only path touching every parameter: the joint
+        loss (tokenizer encoder + LFQ + latent action + dynamics) plus the
+        tokenizer decoder. Flax creates params only along traced paths, so
+        `module.init(..., method=Genie.init_full)` is the way to build a
+        complete tree (training never needs the pixel decoder, inference
+        never needs the loss stack)."""
+        loss, _ = self.compute_loss(video, key, training=True)
+        _, idxs = self.tokenizer_.tokenize(video)
+        rec = self.tokenizer_.decode_tokens(idxs)
+        return loss + 0.0 * rec.mean()
+
     # ------------------------------------------------------------------ #
     # Inference
     # ------------------------------------------------------------------ #

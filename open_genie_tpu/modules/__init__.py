@@ -138,7 +138,9 @@ class BlueprintStack(nn.Module):
     """A sequential stack assembled from a blueprint.
 
     Layers flagged `has_ext` additionally receive `cond`; all layers share
-    the uniform `(x, cond, mask, train)` call signature.
+    the uniform `(x, cond, mask, train)` call signature. Each layer runs
+    under a `jax.named_scope` so profiler traces (`jax.profiler`) attribute
+    time to blueprint entries.
     """
 
     blueprint: Any  # Blueprint; kept as Any for dataclass hashing leniency
@@ -147,13 +149,16 @@ class BlueprintStack(nn.Module):
         self.layers, self.ext_flags = parse_blueprint(self.blueprint)
 
     def __call__(self, x, cond=None, mask=None, train: bool = False):
-        for layer, has_ext in zip(self.layers, self.ext_flags):
-            x = layer(
-                x,
-                cond=cond if has_ext else None,
-                mask=mask,
-                train=train,
-            )
+        import jax
+
+        for i, (layer, has_ext) in enumerate(zip(self.layers, self.ext_flags)):
+            with jax.named_scope(f"{type(layer).__name__}_{i}"):
+                x = layer(
+                    x,
+                    cond=cond if has_ext else None,
+                    mask=mask,
+                    train=train,
+                )
         return x
 
     @property

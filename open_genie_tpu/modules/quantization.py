@@ -93,5 +93,6 @@ class LookupFreeQuantization(nn.Module):
             commit_weight=self.commit_weight,
             entropy_weight=self.entropy_weight,
             diversity_weight=self.diversity_weight,
+            frac_sample=self.frac_sample,
         )
         return (out, idxs), loss, aux

@@ -159,17 +159,29 @@ def lfq_loss(
     commit_weight: float = 0.25,
     entropy_weight: float = 0.1,
     diversity_weight: float = 1.0,
+    frac_sample: float = 1.0,
 ) -> Tuple[jnp.ndarray, dict]:
     """Full LFQ training loss on `(..., d)` pre-quantization features.
 
     Returns `(loss, aux)` where aux holds the individual terms. `quant` is
     the sign-quantized target for the commitment MSE (gradients blocked).
+
+    `frac_sample < 1` subsamples (strided) the tokens entering the
+    *diversity* entropy -- the O(n * 2^d) term -- which the reference
+    declares but never implements (`quantization.py:60`, SURVEY 2.11.7).
+    The closed-form per-sample entropy is O(n * d) and always exact.
     """
     d = x.shape[-1]
     flat = x.reshape(-1, d)
 
     sample_ent = lfq_sample_entropy(flat, beta)
-    avg_ent = lfq_avg_entropy(flat, beta)
+    ent_inp = flat
+    if frac_sample < 1.0:
+        n = flat.shape[0]
+        k = max(1, int(n * frac_sample))
+        stride = max(1, n // k)
+        ent_inp = flat[::stride][:k]
+    avg_ent = lfq_avg_entropy(ent_inp, beta)
     entropy_loss = sample_ent - diversity_weight * avg_ent
 
     commit_loss = jnp.mean(

@@ -1,0 +1,102 @@
+"""Device mesh + sharding rules: the framework's communication backend.
+
+The reference delegates all parallelism to Lightning DDP/NCCL
+(`/root/reference/config/tokenize.yaml:74-78`); here the communication
+backend is XLA/GSPMD itself (SURVEY.md section 2.9): a named `Mesh` with
+`data` and `model` axes, `NamedSharding` annotations on batch and params,
+and XLA-inserted collectives riding ICI.
+
+  * data parallel  : batch sharded over the `data` axis; gradient
+    all-reduce inserted by GSPMD.
+  * tensor parallel: attention/FFN Dense kernels partitioned over the
+    `model` axis via path-suffix rules (Megatron-style column/row split --
+    `to_q/k/v` column, `to_out` row -- so each block needs only one
+    all-reduce on its output).
+  * sequence parallel: the factorized attention batches spatial attention
+    over (B*T) and temporal over (B*H*W); sharding the batch axis of those
+    reshapes over `data` IS the sequence shard -- tubes don't interact, so
+    no ring is needed (SURVEY.md section 5).
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a `(data, model)` mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_data is None:
+        n_data = n // n_model
+    assert n_data * n_model == n, (
+        f"mesh {n_data}x{n_model} != {n} devices"
+    )
+    dev_array = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over `data`, replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# (path-regex, PartitionSpec) rules for tensor-parallel params. Applied to
+# '/'-joined param paths; first match wins; default replicated.
+# Dense kernels are (in, out): column-parallel shards the out dim, row-
+# parallel the in dim.
+TP_RULES: Tuple[Tuple[str, P], ...] = (
+    (r"(to_q|to_k|to_v)/kernel$", P(None, MODEL_AXIS)),   # column
+    (r"to_out/kernel$", P(MODEL_AXIS, None)),             # row
+    (r"ffn/block_0/kernel$", P(None, None, None, None, MODEL_AXIS)),
+    (r"head/kernel$", P(None, MODEL_AXIS)),               # big vocab head
+    (r"tok_emb/embedding$", P(None, MODEL_AXIS)),
+    (r"act_emb/embedding$", P(None, MODEL_AXIS)),
+)
+
+
+def param_shardings(params, mesh: Mesh, rules=TP_RULES):
+    """NamedSharding pytree for a param tree via path-regex rules.
+
+    With `n_model == 1` every spec degenerates to replication, so the same
+    code path serves pure-DP and DP+TP meshes.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        joined = "/".join(str(p) for p in path)
+        spec = P()
+        for pat, s in rules:
+            if re.search(pat, joined):
+                # Only apply if rank and divisibility allow it.
+                if len(s) <= leaf.ndim and _divisible(leaf.shape, s, mesh):
+                    spec = s
+                break
+        out[path] = NamedSharding(mesh, spec)
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def _divisible(shape, spec, mesh) -> bool:
+    for dim, axis in zip(shape, spec):
+        if axis is None:
+            continue
+        if dim % mesh.shape[axis] != 0:
+            return False
+    return True

@@ -1,0 +1,231 @@
+"""Config system: dataclass tree + YAML loader honoring the reference schema.
+
+Loads the same YAML layout as the reference's LightningCLI configs
+(`/root/reference/config/tokenize.yaml`): `model.*` (blueprints, LFQ, loss
+weights, optimizer class-path + init_args), `data.*`, `trainer.*`. Blueprint
+lists port verbatim. Lightning-specific trainer keys map onto the JAX loop
+equivalents; unknown keys are preserved in `extra` rather than rejected.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+from open_genie_tpu.utils import Blueprint
+
+
+def _to_blueprint(raw) -> Blueprint:
+    """YAML list-of-[name, kwargs] -> canonical blueprint tuple."""
+    if raw is None:
+        return ()
+    out = []
+    for entry in raw:
+        if isinstance(entry, str):
+            out.append((entry, {}))
+        elif isinstance(entry, (list, tuple)):
+            name = entry[0]
+            kwargs = entry[1] if len(entry) > 1 else {}
+            out.append((name, dict(kwargs or {})))
+        elif isinstance(entry, dict):
+            # {name: {kwargs}} form
+            (name, kwargs), = entry.items()
+            out.append((name, dict(kwargs or {})))
+        else:
+            raise ValueError(f"Bad blueprint entry: {entry!r}")
+    return tuple(out)
+
+
+@dataclass
+class OptimizerConfig:
+    lr: float = 1e-3
+    weight_decay: float = 0.01
+    b1: float = 0.9
+    b2: float = 0.999
+    grad_clip: Optional[float] = 1.0
+
+    @classmethod
+    def from_raw(cls, raw) -> "OptimizerConfig":
+        """Accept the LightningCLI `class_path`/`init_args` form."""
+        if raw is None:
+            return cls()
+        if "init_args" in raw:
+            args = raw.get("init_args") or {}
+            return cls(
+                lr=float(args.get("lr", 1e-3)),
+                weight_decay=float(args.get("weight_decay", 0.01)),
+            )
+        return cls(**{k: v for k, v in raw.items() if k in cls.__dataclass_fields__})
+
+
+@dataclass
+class TokenizerModelConfig:
+    enc_desc: Blueprint = ()
+    dec_desc: Blueprint = ()
+    disc_kwargs: Dict[str, Any] = field(default_factory=dict)
+    d_codebook: int = 18
+    n_codebook: int = 1
+    lfq_bias: bool = True
+    lfq_frac_sample: float = 1.0
+    lfq_commit_weight: float = 0.25
+    lfq_entropy_weight: float = 0.1
+    lfq_diversity_weight: float = 1.0
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    perceptual_model: str = "vgg16"
+    perc_feat_layers: Tuple[str, ...] = (
+        "features.6", "features.13", "features.18", "features.25",
+    )
+    gan_discriminate: str = "frames"
+    gan_frames_per_batch: int = 4
+    gan_loss_weight: float = 1.0
+    perc_loss_weight: float = 1.0
+    quant_loss_weight: float = 1.0
+
+    def tokenizer_kwargs(self) -> Dict[str, Any]:
+        return dict(
+            enc_desc=self.enc_desc,
+            dec_desc=self.dec_desc,
+            d_codebook=self.d_codebook,
+            n_codebook=self.n_codebook,
+            lfq_bias=self.lfq_bias,
+            lfq_frac_sample=self.lfq_frac_sample,
+            lfq_commit_weight=self.lfq_commit_weight,
+            lfq_entropy_weight=self.lfq_entropy_weight,
+            lfq_diversity_weight=self.lfq_diversity_weight,
+        )
+
+    @classmethod
+    def from_raw(cls, raw: dict) -> "TokenizerModelConfig":
+        raw = dict(raw or {})
+        known = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in raw:
+                continue
+            v = raw.pop(f.name)
+            if f.name in ("enc_desc", "dec_desc"):
+                v = _to_blueprint(v)
+            elif f.name == "optimizer":
+                v = OptimizerConfig.from_raw(v)
+            elif f.name == "perc_feat_layers":
+                v = tuple(v)
+            known[f.name] = v
+        return cls(**known)
+
+
+@dataclass
+class GenieModelConfig:
+    # Tokenizer (pretrained; checkpoint path to restore from)
+    tokenizer: Dict[str, Any] = field(default_factory=dict)
+    tokenizer_ckpt: Optional[str] = None
+    # Latent action model
+    latent_action: Dict[str, Any] = field(default_factory=dict)
+    # Dynamics model
+    dynamics: Dict[str, Any] = field(default_factory=dict)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+
+    @classmethod
+    def from_raw(cls, raw: dict) -> "GenieModelConfig":
+        raw = dict(raw or {})
+        tok = dict(raw.get("tokenizer") or {})
+        for k in ("enc_desc", "dec_desc"):
+            if k in tok:
+                tok[k] = _to_blueprint(tok[k])
+        act = dict(raw.get("latent_action") or {})
+        for k in ("enc_desc", "dec_desc"):
+            if k in act:
+                act[k] = _to_blueprint(act[k])
+        if "inp_shape" in act:
+            act["inp_shape"] = tuple(act["inp_shape"])
+        dyn = dict(raw.get("dynamics") or {})
+        if "desc" in dyn:
+            dyn["desc"] = _to_blueprint(dyn["desc"])
+        return cls(
+            tokenizer=tok,
+            tokenizer_ckpt=raw.get("tokenizer_ckpt"),
+            latent_action=act,
+            dynamics=dyn,
+            optimizer=OptimizerConfig.from_raw(raw.get("optimizer")),
+        )
+
+
+@dataclass
+class DataConfig:
+    root: str = ""
+    env_name: str = "Coinrun"
+    padding: str = "none"
+    randomize: bool = False
+    transform: Any = None
+    num_frames: int = 16
+    batch_size: int = 8
+    output_format: str = "t h w c"  # accepted; pipeline is channels-last
+    num_workers: int = 2
+    source: str = "platformer"  # 'platformer' | 'synthetic' | 'gvid'
+    # synthetic source knobs
+    num_videos: int = 256
+    height: int = 64
+    width: int = 64
+
+    @classmethod
+    def from_raw(cls, raw: dict) -> "DataConfig":
+        raw = dict(raw or {})
+        known = {
+            f.name: raw[f.name]
+            for f in dataclasses.fields(cls)
+            if f.name in raw
+        }
+        return cls(**known)
+
+
+@dataclass
+class TrainerConfig:
+    max_epochs: int = 1
+    max_steps: Optional[int] = None
+    precision: str = "16-mixed"  # '16-mixed' -> bf16 compute; '32' -> f32
+    log_every_n_steps: int = 16
+    val_check_interval: Optional[int] = None
+    limit_val_batches: Optional[int] = None
+    ckpt_dir: str = "checkpoints"
+    ckpt_every_n_steps: int = 500
+    seed: int = 31415
+    n_data: Optional[int] = None   # mesh data axis (None = all devices)
+    n_model: int = 1               # mesh model axis (tensor parallel)
+    gan_alternate: bool = False    # alternating G/D steps vs reference's sum
+    log_dir: str = "logs"
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_raw(cls, raw: dict, seed: Optional[int] = None) -> "TrainerConfig":
+        raw = dict(raw or {})
+        known = {}
+        for f in dataclasses.fields(cls):
+            if f.name in raw:
+                known[f.name] = raw.pop(f.name)
+        # Lightning compat mappings
+        if "devices" in raw:
+            raw.pop("devices")
+        known.setdefault("extra", raw)
+        if seed is not None:
+            known["seed"] = seed
+        return cls(**known)
+
+
+@dataclass
+class ExperimentConfig:
+    model: Any  # TokenizerModelConfig | GenieModelConfig
+    data: DataConfig
+    trainer: TrainerConfig
+
+
+def load_config(path: str, kind: str = "tokenizer") -> ExperimentConfig:
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+
+    seed = raw.get("seed_everything")
+    model_cls = TokenizerModelConfig if kind == "tokenizer" else GenieModelConfig
+    return ExperimentConfig(
+        model=model_cls.from_raw(raw.get("model")),
+        data=DataConfig.from_raw(raw.get("data")),
+        trainer=TrainerConfig.from_raw(raw.get("trainer"), seed=seed),
+    )

@@ -1,0 +1,213 @@
+"""Train loop: jitted, donated, mesh-sharded steps + orbax checkpointing.
+
+Replaces the reference's Lightning Trainer orchestration
+(`/root/reference/config/tokenize.yaml:73-93`) with an explicit JAX loop:
+one compiled train step (forward + backward + optax update) with donated
+params/opt-state, bf16 compute policy, mesh-sharded batches, and frozen-
+parameter masks (VGG in the tokenizer objective, the tokenizer inside
+Genie).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from open_genie_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
+from open_genie_tpu.train.losses import frozen_param_mask
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    key: jax.Array
+
+
+def make_optimizer(
+    lr: float = 1e-3,
+    weight_decay: float = 0.01,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    grad_clip: Optional[float] = 1.0,
+    frozen_mask: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """AdamW matching the reference optimizer config
+    (`config/tokenize.yaml:49-53`), plus gradient clipping and an optional
+    trainable-mask (True = train, False = frozen)."""
+    chain = []
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(optax.adamw(lr, b1=b1, b2=b2, weight_decay=weight_decay))
+    tx = optax.chain(*chain)
+    if frozen_mask is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            param_labels=jax.tree.map(
+                lambda t: "train" if t else "freeze", frozen_mask
+            ),
+        )
+    return tx
+
+
+def create_train_state(
+    module,
+    sample_batch,
+    key: jax.Array,
+    optimizer: optax.GradientTransformation,
+    init_kwargs: Optional[dict] = None,
+) -> TrainState:
+    init_kwargs = init_kwargs or {}
+    k_init, k_loss, k_state = jax.random.split(key, 3)
+    # jitted init: one compile + one exec instead of thousands of eager
+    # dispatches (critical over a remote-device tunnel).
+    variables = jax.jit(
+        lambda k: module.init(k, sample_batch, k_loss, **init_kwargs)
+    )(k_init)
+    params = variables["params"]
+    opt_state = optimizer.init(params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        key=k_state,
+    )
+
+
+def make_train_step(
+    module,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    compute_dtype=None,
+    loss_kwargs: Optional[dict] = None,
+) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted train step.
+
+    When `mesh` is given, the batch is sharded over the `data` axis and
+    params follow the tensor-parallel sharding rules -- GSPMD inserts the
+    gradient all-reduce and TP collectives. `compute_dtype=jnp.bfloat16`
+    casts the batch (and thus most activations) to bf16 while params/optim
+    stay f32, matching '16-mixed' semantics (`config/tokenize.yaml:78`).
+    """
+    loss_kwargs = dict(loss_kwargs or {})
+
+    def step_fn(state: TrainState, batch):
+        key, sub = jax.random.split(state.key)
+        if compute_dtype is not None:
+            batch = batch.astype(compute_dtype)
+
+        def loss_fn(params):
+            loss, metrics = module.apply(
+                {"params": params}, batch, sub, **loss_kwargs
+            )
+            return loss.astype(jnp.float32), metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, key=key
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    data_sh = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,),
+        in_shardings=(None, data_sh),
+    )
+
+
+def shard_state(state: TrainState, mesh) -> TrainState:
+    """Place a train state on the mesh: params per TP rules, rest replicated."""
+    p_sh = param_shardings(state.params, mesh)
+    rep = replicated(mesh)
+
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), state.params, p_sh
+    )
+    opt_state = jax.tree.map(lambda x: jax.device_put(x, rep), state.opt_state)
+    return state.replace(
+        params=params,
+        opt_state=opt_state,
+        step=jax.device_put(state.step, rep),
+        key=jax.device_put(state.key, rep),
+    )
+
+
+# --------------------------------------------------------------------- #
+# Checkpointing (orbax)
+# --------------------------------------------------------------------- #
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: Optional[int] = None):
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.abspath(ckpt_dir)
+    step = int(state.step) if step is None else step
+    with ocp.CheckpointManager(path) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(flax.serialization.to_state_dict(state)))
+
+
+def restore_params(ckpt_dir: str, params) -> Tuple[Any, int]:
+    """Restore only the `params` subtree of the latest checkpoint.
+
+    For inference/eval: the optimizer-state layout depends on the training-
+    time freeze masks, which an inference template need not replicate.
+    """
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(path) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            return params, 0
+        restored = mgr.restore(step)  # raw pytree, no template
+    template = flax.serialization.to_state_dict(params)
+
+    def _merge(tmpl, raw):
+        if isinstance(tmpl, dict):
+            return {k: _merge(tmpl[k], raw[k]) for k in tmpl}
+        return jnp.asarray(raw)
+
+    merged = _merge(template, restored["params"])
+    return flax.serialization.from_state_dict(params, merged), int(step)
+
+
+def restore_checkpoint(ckpt_dir: str, state: TrainState) -> Tuple[TrainState, int]:
+    """Restore the latest checkpoint into the (template) state."""
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(path) as mgr:
+        step = mgr.latest_step()
+        if step is None:
+            return state, 0
+        template = flax.serialization.to_state_dict(state)
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    return flax.serialization.from_state_dict(state, restored), int(step)

@@ -1,0 +1,77 @@
+"""Orbax checkpoint save/restore tests (SURVEY.md section 5)."""
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_genie_tpu.train.loop import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from open_genie_tpu.train.losses import TokenizerTrainModule
+
+KEY = jax.random.PRNGKey(0)
+B, T, H, W = 1, 4, 16, 16
+
+TOK = dict(
+    enc_desc=(
+        ("spacetime_downsample", {
+            "in_channels": 3, "kernel_size": 3, "out_channels": 8,
+            "time_factor": 1, "space_factor": 4,
+        }),
+        ("causal-conv3d", {"in_channels": 8, "out_channels": 4, "kernel_size": 1}),
+    ),
+    dec_desc=(
+        ("causal-conv3d", {"in_channels": 4, "out_channels": 8, "kernel_size": 3}),
+        ("depth2spacetime_upsample", {
+            "in_channels": 8, "out_channels": 3, "kernel_size": 3,
+            "time_factor": 1, "space_factor": 4,
+        }),
+    ),
+    d_codebook=4,
+)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    module = TokenizerTrainModule(
+        tokenizer=TOK, gan_loss_weight=0.0, perc_loss_weight=0.0,
+    )
+    sample = jnp.zeros((B, T, H, W, 3))
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(module, sample, KEY, opt)
+
+    step = make_train_step(module, opt)
+    batch = jax.random.uniform(KEY, (B, T, H, W, 3))
+    state, _ = step(jax.tree.map(jnp.array, state), batch)
+    state = jax.device_get(state)
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt_dir, state)
+
+    template = create_train_state(module, sample, jax.random.PRNGKey(9), opt)
+    restored, step_no = restore_checkpoint(ckpt_dir, template)
+    assert step_no == 1
+    a = flax.traverse_util.flatten_dict(jax.device_get(state.params))
+    b = flax.traverse_util.flatten_dict(jax.device_get(restored.params))
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+    # Optimizer state and PRNG key also roundtrip.
+    np.testing.assert_array_equal(
+        np.asarray(state.key), np.asarray(restored.key)
+    )
+
+
+def test_restore_missing_returns_step0(tmp_path):
+    module = TokenizerTrainModule(
+        tokenizer=TOK, gan_loss_weight=0.0, perc_loss_weight=0.0,
+    )
+    sample = jnp.zeros((B, T, H, W, 3))
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(module, sample, KEY, opt)
+    restored, step_no = restore_checkpoint(str(tmp_path / "none"), state)
+    assert step_no == 0

@@ -1,0 +1,117 @@
+"""Config loader tests: reference YAML schema ports verbatim."""
+import os
+import textwrap
+
+import pytest
+
+from open_genie_tpu.train.config import load_config
+
+REFERENCE_STYLE_YAML = textwrap.dedent("""
+seed_everything: 31415
+
+model:
+  enc_desc:
+    - - spacetime_downsample
+      - in_channels: 3
+        kernel_size: 3
+        out_channels: 64
+        time_factor: 1
+        space_factor: 2
+    - - space-time_attn
+      - n_rep: 8
+        n_head: 8
+        d_head: 64
+  dec_desc:
+    - - space-time_attn
+      - n_rep: 8
+        n_head: 8
+        d_head: 64
+    - - depth2spacetime_upsample
+      - in_channels: 64
+        kernel_size: 3
+        out_channels: 3
+        time_factor: 1
+        space_factor: 2
+  disc_kwargs:
+    inp_size: [64, 64]
+    model_dim: 64
+    dim_mults: [1, 2, 4]
+    down_step: [null, 2, 2]
+  d_codebook: 10
+  n_codebook: 1
+  lfq_bias: True
+  lfq_commit_weight: 0.25
+  lfq_entropy_weight: 0.01
+  optimizer:
+    class_path: torch.optim.AdamW
+    init_args:
+      lr: 1e-3
+      weight_decay: 0.01
+  gan_discriminate: frames
+  gan_loss_weight: 1.
+  perc_loss_weight: 1.
+  quant_loss_weight: 1.
+
+data:
+  root: path/to/data
+  env_name: Coinrun
+  padding: none
+  randomize: true
+  num_frames: 64
+  batch_size: 32
+
+trainer:
+  max_epochs: 40
+  precision: 16-mixed
+  log_every_n_steps: 16
+""")
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    p = tmp_path / "tokenize.yaml"
+    p.write_text(REFERENCE_STYLE_YAML)
+    return load_config(str(p), kind="tokenizer")
+
+
+def test_blueprints_parse(cfg):
+    assert cfg.model.enc_desc[0][0] == "spacetime_downsample"
+    assert cfg.model.enc_desc[0][1]["out_channels"] == 64
+    assert cfg.model.enc_desc[1][1]["n_rep"] == 8
+    assert cfg.model.dec_desc[-1][0] == "depth2spacetime_upsample"
+
+
+def test_lfq_and_loss_weights(cfg):
+    assert cfg.model.d_codebook == 10
+    assert cfg.model.lfq_entropy_weight == 0.01
+    assert cfg.model.gan_loss_weight == 1.0
+
+
+def test_optimizer_class_path_form(cfg):
+    assert cfg.model.optimizer.lr == pytest.approx(1e-3)
+    assert cfg.model.optimizer.weight_decay == pytest.approx(0.01)
+
+
+def test_data_and_trainer(cfg):
+    assert cfg.data.num_frames == 64
+    assert cfg.data.batch_size == 32
+    assert cfg.trainer.max_epochs == 40
+    assert cfg.trainer.precision == "16-mixed"
+    assert cfg.trainer.seed == 31415
+
+
+def test_blueprint_builds_model(cfg):
+    """The parsed blueprints must construct a working tokenizer."""
+    from open_genie_tpu.models.tokenizer import VideoTokenizer
+
+    kwargs = cfg.model.tokenizer_kwargs()
+    tok = VideoTokenizer(**kwargs)
+    assert tok.d_codebook == 10
+
+
+def test_repo_configs_load():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    c1 = load_config(os.path.join(root, "configs", "tokenize.yaml"), "tokenizer")
+    assert c1.model.enc_desc
+    c2 = load_config(os.path.join(root, "configs", "genie.yaml"), "genie")
+    assert c2.model.dynamics["embed_dim"] == 512

@@ -1,0 +1,69 @@
+"""Mesh/sharding tests on the virtual 8-device CPU platform."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from open_genie_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_mesh_mismatch_raises():
+    with pytest.raises(AssertionError):
+        make_mesh(n_data=3, n_model=2)
+
+
+def test_batch_sharding_places_shards():
+    mesh = make_mesh()
+    x = jnp.zeros((16, 4, 4))
+    xs = jax.device_put(x, batch_sharding(mesh))
+    assert len(xs.addressable_shards) == 8
+    assert xs.addressable_shards[0].data.shape == (2, 4, 4)
+
+
+def test_param_shardings_tp_rules():
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {
+        "attn": {
+            "to_q": {"kernel": jnp.zeros((32, 64))},
+            "to_out": {"kernel": jnp.zeros((64, 32))},
+        },
+        "other": {"kernel": jnp.zeros((32, 32))},
+    }
+    sh = param_shardings(params, mesh)
+    assert sh["attn"]["to_q"]["kernel"].spec == P(None, "model")
+    assert sh["attn"]["to_out"]["kernel"].spec == P("model", None)
+    assert sh["other"]["kernel"].spec == P()
+
+
+def test_param_shardings_skips_indivisible():
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = {"to_q": {"kernel": jnp.zeros((32, 63))}}  # 63 % 2 != 0
+    sh = param_shardings(params, mesh)
+    assert sh["to_q"]["kernel"].spec == P()
+
+
+def test_psum_over_data_axis():
+    """Collectives ride the mesh: manual shard_map reduction sanity check."""
+    from jax.experimental.shard_map import shard_map
+
+    mesh = make_mesh()
+    x = jnp.arange(8.0)
+
+    f = shard_map(
+        lambda v: jax.lax.psum(v, "data"),
+        mesh=mesh, in_specs=P("data"), out_specs=P(),
+    )
+    out = f(x)
+    np.testing.assert_allclose(np.asarray(out), x.sum())
