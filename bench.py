@@ -72,12 +72,11 @@ def bench_rollout(num_frames: int, steps_per_frame: int, repeats: int):
     key = jax.random.PRNGKey(0)
     prompt = jnp.zeros((1, 1, 64, 64, 3), jnp.bfloat16)
 
-    # init via tokenize path + rollout path (jitted: one compile, one exec)
+    # init via init_full (touches every param WITHOUT the scan-based rollout
+    # -- flax cannot create params inside lax.scan); jitted: one compile.
+    video = jnp.zeros((1, 4, 64, 64, 3), jnp.float32)
     params = jax.jit(
-        lambda k: model.init(
-            k, prompt, jnp.zeros((1, num_frames + 1), jnp.int32), k,
-            num_frames=1, steps_per_frame=2,
-        )
+        lambda k: model.init(k, video, k, method=model.init_full)
     )(key)["params"]
 
     actions = jnp.zeros((1, num_frames + 1), jnp.int32)
@@ -110,9 +109,8 @@ def bench_tokenizer(repeats: int):
     )
     video = jnp.zeros((1, 16, 64, 64, 3), jnp.bfloat16)
     key = jax.random.PRNGKey(0)
-    params = jax.jit(
-        lambda k: tok.init(k, video, method=tok.tokenize)
-    )(key)
+    # init via the full forward so encoder AND decoder params exist.
+    params = jax.jit(lambda k: tok.init(k, video, train=False))(key)
 
     @jax.jit
     def roundtrip(params, video):

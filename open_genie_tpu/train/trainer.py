@@ -40,25 +40,60 @@ from open_genie_tpu.train.losses import (
 from open_genie_tpu.train.metrics import MetricLogger
 
 
-def build_dataset(cfg) -> object:
+def build_dataset(cfg, split: str = "train") -> object:
     if cfg.source == "synthetic" or not cfg.root:
         return SyntheticVideo(
-            num_videos=cfg.num_videos,
+            num_videos=cfg.num_videos if split == "train"
+            else max(1, cfg.num_videos // 8),
             num_frames=cfg.num_frames,
             height=cfg.height,
             width=cfg.width,
+            seed=0 if split == "train" else 1,
         )
     if cfg.source == "gvid":
         from open_genie_tpu.data.native import GVidDataset
 
-        return GVidDataset(cfg.root, num_frames=cfg.num_frames)
+        # convention: <root>/<split>.gvid or a single file for both splits
+        path = cfg.root
+        if os.path.isdir(path):
+            path = os.path.join(path, f"{split}.gvid")
+        return GVidDataset(path, num_frames=cfg.num_frames)
+    if cfg.source == "kinetics":
+        from open_genie_tpu.data.kinetics import KineticsFolder
+
+        return KineticsFolder(
+            root=cfg.root,
+            split=split if split != "valid" else "val",
+            frames_per_clip=cfg.num_frames,
+            randomize=cfg.randomize,
+        )
     return Platformer2D(
         root=cfg.root,
         env_name=cfg.env_name,
+        split=split,
         padding=cfg.padding,
         randomize=cfg.randomize,
         num_frames=cfg.num_frames,
     )
+
+
+def _make_val_fn(module, compute_dtype, loss_kwargs=None):
+    """Jitted no-update eval step returning the loss metrics."""
+    import functools
+
+    loss_kwargs = dict(loss_kwargs or {})
+
+    @functools.partial(jax.jit, static_argnums=())
+    def val_fn(state, batch):
+        if compute_dtype is not None:
+            batch = batch.astype(compute_dtype)
+        key = jax.random.fold_in(state.key, 1)
+        _, metrics = module.apply(
+            {"params": state.params}, batch, key, train=False, **loss_kwargs
+        )
+        return metrics
+
+    return val_fn
 
 
 def _compute_dtype(precision: str):
@@ -126,7 +161,21 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         module, optimizer, mesh=mesh,
         compute_dtype=_compute_dtype(tcfg.precision),
     )
-    return _run_loop(state, step_fn, loader, tcfg, start_step)
+    val_loader = val_fn = None
+    if tcfg.val_check_interval:
+        val_ds = build_dataset(cfg.data, split="val")
+        val_loader = BatchLoader(
+            val_ds,
+            batch_size=min(cfg.data.batch_size, len(val_ds)),
+            num_workers=cfg.data.num_workers,
+            shuffle=False,
+            sharding=batch_sharding(mesh) if mesh.size == 1 else None,
+        )
+        val_fn = _make_val_fn(module, _compute_dtype(tcfg.precision))
+    return _run_loop(
+        state, step_fn, loader, tcfg, start_step,
+        val_fn=val_fn, val_loader=val_loader,
+    )
 
 
 def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
@@ -183,7 +232,24 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         module, optimizer, mesh=mesh,
         compute_dtype=_compute_dtype(tcfg.precision),
     )
-    return _run_loop(state, step_fn, loader, tcfg, start_step)
+    val_loader = val_fn = eval_hook = None
+    if tcfg.val_check_interval:
+        val_ds = build_dataset(cfg.data, split="val")
+        val_loader = BatchLoader(
+            val_ds,
+            batch_size=min(cfg.data.batch_size, len(val_ds)),
+            num_workers=cfg.data.num_workers,
+            shuffle=False,
+            sharding=batch_sharding(mesh) if mesh.size == 1 else None,
+        )
+        val_fn = _make_val_fn(module, _compute_dtype(tcfg.precision))
+        eval_hook = make_eval_video_hook(
+            module, tcfg, size=cfg.data.height, num_frames=8
+        )
+    return _run_loop(
+        state, step_fn, loader, tcfg, start_step,
+        val_fn=val_fn, val_loader=val_loader, eval_hook=eval_hook,
+    )
 
 
 def _load_tokenizer_into_genie(state: TrainState, ckpt: str) -> TrainState:
@@ -205,7 +271,24 @@ def _load_tokenizer_into_genie(state: TrainState, ckpt: str) -> TrainState:
     return state.replace(params=params)
 
 
-def _run_loop(state, step_fn, loader, tcfg, start_step: int) -> TrainState:
+def _run_loop(
+    state,
+    step_fn,
+    loader,
+    tcfg,
+    start_step: int,
+    val_fn=None,
+    val_loader=None,
+    eval_hook=None,
+) -> TrainState:
+    """Training loop with periodic logging / validation / checkpointing.
+
+    `val_fn(state, batch) -> metrics` runs every `val_check_interval` steps
+    over up to `limit_val_batches` batches (Lightning-equivalent knobs,
+    `config/tokenize.yaml:79-81`); `eval_hook(state, step)` is the
+    sample-video generation hook (reference `Genie.on_validation_end`,
+    `genie/genie.py:155-174`).
+    """
     logger = MetricLogger(tcfg.log_dir)
     max_steps = tcfg.max_steps or (tcfg.max_epochs * len(loader))
     step = start_step
@@ -221,6 +304,19 @@ def _run_loop(state, step_fn, loader, tcfg, start_step: int) -> TrainState:
                 logger.log(step, {**{k: float(v) for k, v in metrics.items()},
                                   "steps_per_sec": tcfg.log_every_n_steps / dt})
                 t0 = time.time()
+            if (
+                val_fn is not None
+                and val_loader is not None
+                and tcfg.val_check_interval
+                and step % tcfg.val_check_interval == 0
+            ):
+                vm = _run_validation(
+                    state, val_fn, val_loader, tcfg.limit_val_batches
+                )
+                logger.log(step, {f"val_{k}": v for k, v in vm.items()})
+                if eval_hook is not None:
+                    eval_hook(state, step)
+                t0 = time.time()
             if step % tcfg.ckpt_every_n_steps == 0 or step >= max_steps:
                 save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step)
             if step >= max_steps:
@@ -228,3 +324,50 @@ def _run_loop(state, step_fn, loader, tcfg, start_step: int) -> TrainState:
                 break
     logger.close()
     return state
+
+
+def _run_validation(state, val_fn, val_loader, limit: Optional[int]):
+    import numpy as np
+
+    sums: dict = {}
+    count = 0
+    for i, batch in enumerate(val_loader):
+        if limit is not None and i >= limit:
+            break
+        metrics = jax.device_get(val_fn(state, batch))
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        count += 1
+    return {k: v / max(count, 1) for k, v in sums.items()}
+
+
+def make_eval_video_hook(module, tcfg, size: int = 64, num_frames: int = 8):
+    """Sample-video generation hook for Genie training: roll out a short
+    action-conditioned video from a noise prompt and dump it next to the
+    logs (the reference logs via `add_video`; an mp4 is the framework-
+    neutral equivalent)."""
+    import numpy as np
+
+    def hook(state, step):
+        try:
+            from open_genie_tpu.data.video import HAS_CV2, write_mp4
+
+            if not HAS_CV2:
+                return
+            key = jax.random.PRNGKey(step)
+            prompt = jax.random.uniform(key, (1, 1, size, size, 3))
+            actions = jax.random.randint(key, (1, num_frames + 1), 0, 2)
+            video = module.apply(
+                {"params": state.params}, prompt, actions, key,
+                num_frames=num_frames, steps_per_frame=8,
+                method=module.generate,
+            )
+            out = np.asarray(jnp.clip(video[0], 0, 1))
+            os.makedirs(tcfg.log_dir, exist_ok=True)
+            write_mp4(
+                os.path.join(tcfg.log_dir, f"sample_step{step}.mp4"), out
+            )
+        except Exception as e:  # eval must never kill training
+            print(f"[eval-hook] sample video failed: {e}")
+
+    return hook
