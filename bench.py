@@ -20,6 +20,13 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x) -> float:
+    """Hard host sync: on remote-tunneled devices `block_until_ready` can
+    return before execution completes; a full host transfer cannot."""
+    return float(np.asarray(x).sum())
 
 from open_genie_tpu.models.blueprints import (
     LATENT_ACT_DEC,
@@ -88,15 +95,13 @@ def bench_rollout(num_frames: int, steps_per_frame: int, repeats: int):
             num_frames=num_frames, steps_per_frame=steps_per_frame,
         )
 
-    out = rollout(params, prompt, actions, key)
-    out.block_until_ready()  # compile + warmup
+    _sync(rollout(params, prompt, actions, key))  # compile + warmup
 
     times = []
     for i in range(repeats):
         k = jax.random.PRNGKey(i)
         t0 = time.perf_counter()
-        out = rollout(params, prompt, actions, k)
-        out.block_until_ready()
+        _sync(rollout(params, prompt, actions, k))
         times.append(time.perf_counter() - t0)
     dt = min(times)
     return num_frames / dt
@@ -117,15 +122,52 @@ def bench_tokenizer(repeats: int):
         quant, idxs = tok.apply(params, video, method=tok.tokenize)
         return tok.apply(params, idxs, method=tok.decode_tokens)
 
-    out = roundtrip(params, video)
-    out.block_until_ready()
+    _sync(roundtrip(params, video))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = roundtrip(params, video)
-        out.block_until_ready()
+        _sync(roundtrip(params, video))
         times.append(time.perf_counter() - t0)
     return 16 / min(times)
+
+
+def bench_tokenizer_train(repeats: int, batch: int = 4, frames: int = 8):
+    """Full tokenizer train step (rec + GAN + perceptual + LFQ d=18),
+    frames/sec of training throughput at 64x64."""
+    from open_genie_tpu.train.loop import (
+        create_train_state, make_optimizer, make_train_step,
+    )
+    from open_genie_tpu.train.losses import TokenizerTrainModule, frozen_param_mask
+
+    module = TokenizerTrainModule(
+        tokenizer=dict(
+            enc_desc=MAGVIT2_ENC_DESC, dec_desc=MAGVIT2_DEC_DESC, d_codebook=18,
+        ),
+        disc_kwargs=dict(
+            inp_size=(64, 64), model_dim=64, dim_mults=(1, 2, 4),
+            down_step=(None, 2, 2), num_groups=8, use_attn=True,
+            num_heads=4, dim_head=32,
+        ),
+        gan_frames_per_batch=4,
+    )
+    key = jax.random.PRNGKey(0)
+    sample = jnp.zeros((batch, frames, 64, 64, 3), jnp.float32)
+    state = create_train_state(module, sample, key, opt := make_optimizer())
+    mask = frozen_param_mask(state.params, ("perc_crit",))
+    opt = make_optimizer(frozen_mask=mask)
+    state = state.replace(opt_state=opt.init(state.params))
+
+    step = make_train_step(module, opt, compute_dtype=jnp.bfloat16)
+    state, metrics = step(state, sample)  # compile + warmup
+    _sync(metrics["grad_norm"])
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, metrics = step(state, sample)
+        _sync(metrics["grad_norm"])
+        times.append(time.perf_counter() - t0)
+    return batch * frames / min(times)
 
 
 def main():
@@ -141,14 +183,21 @@ def main():
 
     rollout_fps = bench_rollout(frames, spf, repeats)
     tok_fps = bench_tokenizer(repeats)
+    train_fps = bench_tokenizer_train(
+        repeats, batch=2 if args.quick else 4, frames=4 if args.quick else 8
+    )
 
     print(f"# tokenizer tokenize+decode: {tok_fps:.2f} frames/sec @ 16x64x64 (MAGVIT2, d=18)")
+    print(f"# tokenizer train step (full loss stack): {train_fps:.2f} frames/sec @ 64x64")
     print(json.dumps({
         "metric": "rollout_fps",
         "value": round(rollout_fps, 3),
         "unit": "frames/sec (64x64, action-conditioned, %d MaskGIT steps/frame)" % spf,
         "vs_baseline": round(rollout_fps / 30.0, 3),
-        "extra": {"tokenizer_roundtrip_fps": round(tok_fps, 2)},
+        "extra": {
+            "tokenizer_roundtrip_fps": round(tok_fps, 2),
+            "tokenizer_train_fps": round(train_fps, 2),
+        },
     }))
 
 

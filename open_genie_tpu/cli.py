@@ -87,6 +87,19 @@ def _make_data(args):
 
     from open_genie_tpu.data.video import SyntheticVideo, write_mp4
 
+    if args.source == "gym":
+        # Reference `sample.py` path: procgen envs under a random policy.
+        # Gated: procgen/gym are not bundled in every environment.
+        try:
+            import gym  # noqa: F401
+        except ImportError as e:
+            raise SystemExit(
+                "--source gym requires the gym+procgen packages "
+                f"(unavailable: {e}); use --source synthetic instead"
+            )
+        _make_data_gym(args)
+        return
+
     for split, count in (("train", args.num_videos),
                          ("val", max(1, args.num_videos // 8))):
         out_dir = os.path.join(args.root, args.env_name, split)
@@ -99,6 +112,36 @@ def _make_data(args):
         for i in range(count):
             write_mp4(os.path.join(out_dir, f"{i:04d}.mp4"), ds[i])
         print(f"wrote {count} videos to {out_dir}")
+
+
+def _make_data_gym(args):
+    """Procgen rollouts under a random policy -> mp4 (reference
+    `sample.py:27-53` semantics: hard mode, one level per seed)."""
+    import gym
+    import numpy as np
+
+    from open_genie_tpu.data.video import write_mp4
+
+    for seed in range(args.num_videos):
+        env = gym.make(
+            f"procgen:procgen-{args.env_name.lower()}-v0",
+            distribution_mode="hard",
+            render_mode="rgb_array",
+            start_level=seed,
+            num_levels=1,
+            use_sequential_levels=True,
+        )
+        frames = [env.reset()]
+        frames.extend(
+            env.step(env.action_space.sample())[0]
+            for _ in range(args.timeout - 1)
+        )
+        env.close()
+        out_dir = os.path.join(args.root, args.env_name, "train")
+        os.makedirs(out_dir, exist_ok=True)
+        video = np.stack(frames).astype(np.float32) / 255.0
+        write_mp4(os.path.join(out_dir, f"{seed:04d}.mp4"), video)
+    print(f"wrote {args.num_videos} gym rollouts to {out_dir}")
 
 
 def main(argv=None):
@@ -122,8 +165,9 @@ def main(argv=None):
     pg.add_argument("--out", default="rollout.mp4")
     pg.set_defaults(fn=_generate)
 
-    pd = sub.add_parser("make-data", help="generate a synthetic mp4 dataset")
+    pd = sub.add_parser("make-data", help="generate an mp4 dataset")
     pd.add_argument("--root", required=True)
+    pd.add_argument("--source", choices=["synthetic", "gym"], default="synthetic")
     pd.add_argument("--env-name", default="Coinrun")
     pd.add_argument("--num-videos", type=int, default=16)
     pd.add_argument("--timeout", type=int, default=100)

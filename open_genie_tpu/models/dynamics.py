@@ -48,7 +48,13 @@ def get_schedule(steps: int, shape: Tuple[int, int], which: str = "linear") -> n
         s = np.arccos(t) / (pi * 0.5)
     else:
         raise ValueError(f"Unknown schedule type: {which}")
-    schedule = (s / s.sum()) * n
+    total = s.sum()
+    if steps == 1 or total <= 0:
+        # Degenerate ramps (e.g. steps=1 makes a single zero weight):
+        # uniform split.
+        s = np.ones(steps)
+        total = float(steps)
+    schedule = (s / total) * n
     schedule = np.clip(np.round(schedule).astype(np.int32), 1, None)
     schedule[-1] += n - schedule.sum()
     return schedule
@@ -83,6 +89,74 @@ class DynamicsModel(nn.Module):
         for layer, has_ext in zip(self.layers, self.ext_kw):
             x = layer(x, train=train)
         return self.head(x)
+
+    # ------------------------------------------------------------------ #
+    # Cached frame-decode path (TPU rollout fast path)
+    # ------------------------------------------------------------------ #
+
+    @nn.nowrap
+    def init_cache(self, batch: int, h: int, w: int, t_max: int, dtype=jnp.float32):
+        """Zeroed per-layer decode caches for a `t_max`-frame rollout.
+
+        Requires an all-`space-time_attn` trunk (the stock dynamics
+        blueprints). Each layer carries temporal KV buffers
+        `(B*H*W, heads, t_max, d_head)` and a `(B, k_t - 1, H, W, time_hid)`
+        window of pre-FFN features for the causal FFN conv. Layer dims are
+        read from the blueprint descriptors directly (constructing Flax
+        modules inside a bound method is forbidden).
+        """
+        caches = []
+        for desc in self.desc:
+            if isinstance(desc, str):
+                desc = (desc, {})
+            name, kwargs = desc
+            assert name == "space-time_attn", (
+                "cached decode requires an all-space-time_attn dynamics trunk"
+            )
+            n_head = kwargs.get("n_head", 8)
+            d_head = kwargs.get("d_head", 64)
+            heads = n_head[1] if isinstance(n_head, (tuple, list)) else n_head
+            dh = d_head[1] if isinstance(d_head, (tuple, list)) else d_head
+            kt = kwargs.get("kernel_size", 3)
+            time_hid = heads * dh
+            for _ in range(int(kwargs.get("n_rep", 1))):
+                caches.append({
+                    "k": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
+                    "v": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
+                    "ffn": jnp.zeros((batch, kt - 1, h, w, time_hid), dtype),
+                })
+        return caches
+
+    def decode_frame(
+        self,
+        frame_tok: jnp.ndarray,
+        act_id: jnp.ndarray,
+        cache,
+        pos,
+        train: bool = False,
+    ):
+        """One-frame forward against cached history.
+
+        Args:
+          frame_tok: `(B, H, W)` tokens of the frame at time `pos`.
+          act_id: `(B,)` action ids for this frame.
+          cache/pos: decode caches (see `init_cache`) and the frame index.
+
+        Returns `(logits (B, H, W, V), new_cache)`. Refinement steps use the
+        logits and drop `new_cache` (the frame is not committed); the final
+        pass keeps it. Compute is O(1) in history length (keys are read from
+        the cache), vs the reference's full re-forward per MaskGIT step
+        (`dynamics.py:136`).
+        """
+        x = self.tok_emb(frame_tok[:, None]) + self.act_emb(act_id[:, None])[
+            :, :, None, None, :
+        ]
+        new_cache = []
+        for layer, layer_cache in zip(self.layers, cache):
+            x, c = layer(x, cache=layer_cache, cache_pos=pos, train=train)
+            new_cache.append(c)
+        logits = self.head(x[:, 0])
+        return logits, new_cache
 
     def compute_loss(
         self,

@@ -131,6 +131,105 @@ class Genie(nn.Module):
         temp: float = 1.0,
         which: str = "linear",
     ) -> jnp.ndarray:
+        """KV-cached autoregressive MaskGIT rollout (the fast path).
+
+        Per generated frame: `steps_per_frame` refinement passes over ONLY
+        the new frame (temporal attention reads history K/V from per-layer
+        caches; the causal FFN conv reads a cached 2-frame window), then one
+        commit pass appends the frame's K/V. Compute per step is O(1) in
+        history length, vs O(T) for the full re-forward
+        (`rollout_tokens_full`, which also serves non-ST-attention trunks).
+        The whole rollout is a single compiled program (scan over frames,
+        scan over refine steps).
+
+        Args:
+          tokens: `(B, T0, H, W)` prompt token grid.
+          actions: `(B, T0 + num_frames)` action ids.
+        Returns `(B, T0 + num_frames, H, W)` tokens.
+        """
+        from open_genie_tpu.models.dynamics import get_schedule
+
+        b, t0, h, w = tokens.shape
+        total = t0 + num_frames
+        schedule = jnp.asarray(get_schedule(steps_per_frame, (h, w), which))
+        cache = self.dynamics_.init_cache(b, h, w, total)
+
+        # Prefill: commit each prompt frame into the caches.
+        def prefill(cache, inp):
+            pos, frame, act = inp
+            _, cache = self.dynamics_.decode_frame(frame, act, cache, pos)
+            return cache, None
+
+        cache, _ = lax.scan(
+            prefill,
+            cache,
+            (
+                jnp.arange(t0),
+                jnp.moveaxis(tokens, 1, 0),
+                jnp.moveaxis(actions[:, :t0], 1, 0),
+            ),
+        )
+
+        buf = jnp.concatenate(
+            [tokens, jnp.zeros((b, num_frames, h, w), tokens.dtype)], axis=1
+        )
+        frame_keys = jax.random.split(key, num_frames)
+
+        def gen_frame(carry, inp):
+            buf, cache = carry
+            f_idx, k = inp
+            tgt = t0 + f_idx
+            act_t = jnp.take_along_axis(
+                actions, tgt[None, None], axis=1
+            )[:, 0]
+            step_keys = jax.random.split(k, steps_per_frame)
+            mask0 = jnp.ones((b, h * w), dtype=bool)
+            code0 = jnp.zeros((b, h * w), dtype=buf.dtype)
+
+            def refine(carry, step_inp):
+                mask, code = carry
+                num_tokens, sk = step_inp
+                frame = jnp.where(mask, 0, code).reshape(b, h, w)
+                logits, _ = self.dynamics_.decode_frame(
+                    frame, act_t, cache, tgt
+                )
+                logits = logits.reshape(b, h * w, -1).astype(jnp.float32) / temp
+                pred = jax.random.categorical(sk, logits, axis=-1)
+                prob = jax.nn.softmax(logits, axis=-1)
+                conf = jnp.take_along_axis(prob, pred[..., None], axis=-1)[..., 0]
+                conf = jnp.where(mask, conf, -jnp.inf)
+                order = jnp.argsort(-conf, axis=-1)
+                rank = jnp.argsort(order, axis=-1)
+                commit = (rank < num_tokens) & mask
+                code = jnp.where(commit, pred.astype(code.dtype), code)
+                return (mask & ~commit, code), None
+
+            (mask, code), _ = lax.scan(
+                refine, (mask0, code0), (schedule, step_keys)
+            )
+            frame = code.reshape(b, h, w)
+            # Commit the finished frame's K/V + FFN window into the caches.
+            _, cache = self.dynamics_.decode_frame(frame, act_t, cache, tgt)
+            buf = lax.dynamic_update_slice_in_dim(
+                buf, frame[:, None], tgt, axis=1
+            )
+            return (buf, cache), None
+
+        (buf, _), _ = lax.scan(
+            gen_frame, (buf, cache), (jnp.arange(num_frames), frame_keys)
+        )
+        return buf
+
+    def rollout_tokens_full(
+        self,
+        tokens: jnp.ndarray,
+        actions: jnp.ndarray,
+        key: jax.Array,
+        num_frames: int,
+        steps_per_frame: int = 25,
+        temp: float = 1.0,
+        which: str = "linear",
+    ) -> jnp.ndarray:
         """Autoregressive MaskGIT rollout in token space.
 
         Args:

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from open_genie_tpu.ops.attention import dot_product_attention
@@ -58,14 +59,26 @@ class Attention(nn.Module):
         val: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,
         train: bool = False,
-    ) -> jnp.ndarray:
+        kv_cache=None,
+        cache_pos=None,
+    ):
+        """Self/cross attention; optionally KV-cached single-position decode.
+
+        Decode mode (`kv_cache=(k_buf, v_buf)` of shape `(B, heads, N, Dh)`
+        plus integer `cache_pos`): `qry` is a single position `(B, 1, C)`
+        placed at `cache_pos`; its K/V are written into the buffers and
+        attention runs over positions `<= cache_pos`. Returns
+        `(out, (k_buf', v_buf'))`. Parameters are identical to the full
+        path (same compact submodules trace in both modes).
+        """
         hid = self.n_head * self.d_head
         d_inp = default(self.d_inp, hid)
         d_out = default(self.d_out, d_inp)
+        decode = kv_cache is not None
 
         if self.rope_kind is not None:
             freq = rope_frequencies(d_inp, kind=self.rope_kind)
-            qry = apply_rope(qry, freq)
+            qry = apply_rope(qry, freq, offset=cache_pos if decode else 0)
 
         qry = nn.LayerNorm(name="norm")(qry)
         key = default(key, qry)
@@ -79,19 +92,40 @@ class Attention(nn.Module):
             b, n, _ = t.shape
             return t.reshape(b, n, self.n_head, self.d_head).transpose(0, 2, 1, 3)
 
-        attn = dot_product_attention(
-            split(q),
-            split(k),
-            split(v),
-            scale=default(self.scale, self.d_head ** -0.5),
-            causal=self.causal,
-            mask=mask,
-        )
+        q, k, v = split(q), split(k), split(v)
+
+        if decode:
+            k_buf, v_buf = kv_cache
+            k_buf = jax.lax.dynamic_update_slice_in_dim(
+                k_buf, k.astype(k_buf.dtype), cache_pos, axis=2
+            )
+            v_buf = jax.lax.dynamic_update_slice_in_dim(
+                v_buf, v.astype(v_buf.dtype), cache_pos, axis=2
+            )
+            n_max = k_buf.shape[2]
+            valid = jnp.arange(n_max)[None, None, None, :] <= cache_pos
+            attn = dot_product_attention(
+                q, k_buf, v_buf,
+                scale=default(self.scale, self.d_head ** -0.5),
+                causal=False,
+                mask=valid,
+                use_flash=False,
+            )
+        else:
+            attn = dot_product_attention(
+                q, k, v,
+                scale=default(self.scale, self.d_head ** -0.5),
+                causal=self.causal,
+                mask=mask,
+            )
+
         b, h, n, d = attn.shape
         out = attn.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         out = nn.Dense(d_out, use_bias=self.bias, name="to_out")(out)
         if self.dropout > 0.0:
             out = nn.Dropout(rate=self.dropout, deterministic=not train)(out)
+        if decode:
+            return out, (k_buf, v_buf)
         return out
 
 
@@ -173,7 +207,15 @@ class TemporalAttention(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, video, cond=None, mask=None, train: bool = False):
+    def __call__(
+        self,
+        video,
+        cond=None,
+        mask=None,
+        train: bool = False,
+        kv_cache=None,
+        cache_pos=None,
+    ):
         b, t, h, w, c = video.shape
         # (B, T, H, W, C) -> (B*H*W, T, C) pixel tubes.
         seq = video.transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
@@ -181,7 +223,7 @@ class TemporalAttention(nn.Module):
             # (B, T, Ck) -> (B*H*W, T, Ck)
             cond = jnp.repeat(cond, h * w, axis=0)
 
-        out = Attention(
+        attn = Attention(
             n_head=self.n_head,
             d_head=self.d_head,
             d_inp=default(self.d_inp, c),
@@ -193,7 +235,16 @@ class TemporalAttention(nn.Module):
             dropout=self.dropout,
             rope_kind="1d" if self.embed else None,
             name="attn",
-        )(seq, key=cond, mask=mask, train=train)
+        )
+        out = attn(
+            seq, key=cond, mask=mask, train=train,
+            kv_cache=kv_cache, cache_pos=cache_pos,
+        )
+        if kv_cache is not None:
+            out, new_cache = out
+            c_out = out.shape[-1]
+            out = out.reshape(b, h, w, t, c_out).transpose(0, 3, 1, 2, 4)
+            return out, new_cache
 
         c_out = out.shape[-1]
         return out.reshape(b, h, w, t, c_out).transpose(0, 3, 1, 2, 4)
@@ -238,8 +289,36 @@ class SpaceTimeAttention(nn.Module):
             default(self.d_out, self.n_embd), n_head[1] * d_head[1]
         )
 
+    @property
+    def time_hid(self) -> int:
+        n_head = self.n_head if isinstance(self.n_head, tuple) else (self.n_head,) * 2
+        d_head = self.d_head if isinstance(self.d_head, tuple) else (self.d_head,) * 2
+        return n_head[1] * d_head[1]
+
+    @property
+    def time_heads(self) -> Tuple[int, int]:
+        n_head = self.n_head if isinstance(self.n_head, tuple) else (self.n_head,) * 2
+        d_head = self.d_head if isinstance(self.d_head, tuple) else (self.d_head,) * 2
+        return n_head[1], d_head[1]
+
     @nn.compact
-    def __call__(self, video, cond=None, mask=None, train: bool = False):
+    def __call__(
+        self,
+        video,
+        cond=None,
+        mask=None,
+        train: bool = False,
+        cache=None,
+        cache_pos=None,
+    ):
+        """Full forward, or cached single-frame decode.
+
+        Decode mode (`cache={'k','v','ffn'}`, `cache_pos=t`): `video` is one
+        frame `(B, 1, H, W, C)` at time `t`. 'k'/'v' are `(B*H*W, heads,
+        T_max, Dh)` temporal KV buffers; 'ffn' is `(B, k_t - 1, H, W,
+        time_hid)` holding the previous frames' pre-FFN features (the causal
+        FFN conv's temporal receptive field). Returns `(out, new_cache)`.
+        """
         n_head = self.n_head if isinstance(self.n_head, tuple) else (self.n_head,) * 2
         d_head = self.d_head if isinstance(self.d_head, tuple) else (self.d_head,) * 2
         embed = self.embed if isinstance(self.embed, tuple) else (self.embed,) * 2
@@ -247,10 +326,15 @@ class SpaceTimeAttention(nn.Module):
         d_out = default(default(self.d_out, self.n_embd), n_head[1] * d_head[1])
         space_hid = n_head[0] * d_head[0]
         time_hid = n_head[1] * d_head[1]
+        decode = cache is not None
 
         if not isinstance(cond, tuple):
             cond = (cond, cond)
         space_cond, time_cond = cond
+        if decode:
+            assert space_cond is None and time_cond is None, (
+                "cached decode does not support external conditioning"
+            )
 
         space_kw = dict(self.space_attn_kw or {})
         time_kw = dict(self.time_attn_kw or {})
@@ -277,7 +361,7 @@ class SpaceTimeAttention(nn.Module):
 
         # Temporal attention (always causal) + identity skip (dim-adapting
         # conv when the spatial and temporal widths differ).
-        ta = TemporalAttention(
+        ta_mod = TemporalAttention(
             n_head=n_head[1],
             d_head=d_head[1],
             d_inp=space_hid,
@@ -289,16 +373,23 @@ class SpaceTimeAttention(nn.Module):
             dropout=self.dropout,
             name="temp_attn",
             **time_kw,
-        )(video, cond=time_cond, mask=mask, train=train)
+        )
+        if decode:
+            ta, new_kv = ta_mod(
+                video, cond=None, train=train,
+                kv_cache=(cache["k"], cache["v"]), cache_pos=cache_pos,
+            )
+        else:
+            ta = ta_mod(video, cond=time_cond, mask=mask, train=train)
         if space_hid != time_hid:
             video = ta + nn.Conv(time_hid, kernel_size=(1, 1, 1), name="time_skip")(video)
         else:
             video = ta + video
 
-        # Conv3d FFN + 1x1-conv skip when dims change.
+        # Causal Conv3d FFN + 1x1-conv skip when dims change.
         from open_genie_tpu.modules.misc import ForwardBlock
 
-        ffn = ForwardBlock(
+        ffn_mod = ForwardBlock(
             in_dim=time_hid,
             out_dim=d_out,
             hid_dim=self.hid_dim,
@@ -306,10 +397,26 @@ class SpaceTimeAttention(nn.Module):
             use_bias=self.bias,
             block="conv3d",
             kernel_size=self.kernel_size,
+            causal_time=True,
             name="ffn",
-        )(video, train=train)
+        )
+        if decode:
+            # Run the causal FFN over [prev (k_t - 1) frames, current]; the
+            # last output frame equals the full-sequence output at this
+            # position. New 'ffn' cache = trailing window.
+            window = jnp.concatenate(
+                [cache["ffn"].astype(video.dtype), video], axis=1
+            )
+            ffn_full = ffn_mod(window, train=train)
+            ffn = ffn_full[:, -1:]
+            new_ffn = window[:, 1:]
+        else:
+            ffn = ffn_mod(video, train=train)
         if time_hid != d_out:
             skip = nn.Conv(d_out, kernel_size=(1, 1, 1), name="ffn_skip")(video)
         else:
             skip = video
-        return ffn + skip
+        out = ffn + skip
+        if decode:
+            return out, {"k": new_kv[0], "v": new_kv[1], "ffn": new_ffn}
+        return out

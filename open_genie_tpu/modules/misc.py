@@ -32,6 +32,12 @@ class ForwardBlock(nn.Module):
     last_act: bool = False
     use_bias: bool = True
     kernel_size: int = 1
+    # conv3d only: pad time left-only so the block is causal across frames.
+    # The reference pads its ST-attention FFN symmetrically in time
+    # (`attention.py:429-445`), silently leaking future frames through an
+    # otherwise-causal trunk; SpaceTimeAttention here sets this True
+    # (fix-by-design, enables O(1)-frame cached decode).
+    causal_time: bool = False
 
     @nn.compact
     def __call__(self, x, cond=None, mask=None, train: bool = False):
@@ -47,16 +53,28 @@ class ForwardBlock(nn.Module):
                 return nn.Dense(features, use_bias=self.use_bias, name=name)(h)
             nd = 2 if self.block == "conv2d" else 3
             k = cast_tuple(self.kernel_size, nd)
-            pad = tuple(((kk - 1) // 2, (kk - 1) // 2) for kk in k)
+            pad = [((kk - 1) // 2, (kk - 1) // 2) for kk in k]
+            if self.block == "conv3d" and self.causal_time:
+                pad[0] = (k[0] - 1, 0)
             return nn.Conv(
                 features,
                 kernel_size=k,
-                padding=pad,
+                padding=tuple(pad),
                 use_bias=self.use_bias,
                 name=name,
             )(h)
 
-        h = nn.GroupNorm(num_groups=self.num_groups, name="norm")(x)
+        if self.block == "conv3d" and self.causal_time and x.ndim == 5:
+            # Per-frame GroupNorm: vanilla GroupNorm on video computes
+            # statistics over (T, H, W, C/g), leaking future frames through
+            # an otherwise-causal block (the reference's torch GroupNorm
+            # does the same). Restrict stats to within-frame.
+            b, t = x.shape[:2]
+            h = nn.GroupNorm(num_groups=self.num_groups, name="norm")(
+                x.reshape(b * t, *x.shape[2:])
+            ).reshape(x.shape)
+        else:
+            h = nn.GroupNorm(num_groups=self.num_groups, name="norm")(x)
         for i, features in enumerate(dims):
             h = mix(h, features, f"block_{i}")
             if i < len(dims) - 1 or self.last_act:

@@ -1,0 +1,96 @@
+"""KV-cached decode parity: cached per-frame logits == full forward.
+
+The cached rollout path (`DynamicsModel.decode_frame`,
+`Genie.rollout_tokens`) must be numerically equivalent to the full
+re-forward; this pins the temporal KV cache, RoPE offsets, and the causal
+FFN window against the reference semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_genie_tpu.models.dynamics import DynamicsModel
+
+KEY = jax.random.PRNGKey(0)
+
+DESC = (
+    ("space-time_attn", {"n_rep": 2, "n_embd": 32, "n_head": 2, "d_head": 8}),
+)
+VOCAB, ACT_VOCAB, EMBED = 32, 4, 32
+B, T, H, W = 2, 5, 4, 4
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    m = DynamicsModel(desc=DESC, tok_vocab=VOCAB, act_vocab=ACT_VOCAB, embed_dim=EMBED)
+    toks = jnp.zeros((B, T, H, W), jnp.int32)
+    acts = jnp.zeros((B, T), jnp.int32)
+    params = m.init(KEY, toks, acts)
+    return m, params
+
+
+def test_decode_frame_matches_full_forward(model_and_params):
+    m, params = model_and_params
+    toks = jax.random.randint(KEY, (B, T, H, W), 0, VOCAB)
+    acts = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, ACT_VOCAB)
+
+    full_logits = m.apply(params, toks, acts)  # (B, T, H, W, V)
+
+    cache = m.init_cache(B, H, W, T)
+    for t in range(T):
+        logits, cache = m.apply(
+            params, toks[:, t], acts[:, t], cache, t, method=m.decode_frame
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits),
+            np.asarray(full_logits[:, t]),
+            rtol=2e-4,
+            atol=2e-4,
+            err_msg=f"frame {t}",
+        )
+
+
+def test_decode_refine_does_not_pollute_cache(model_and_params):
+    """Peeking (refine steps) must not change committed history results."""
+    m, params = model_and_params
+    toks = jax.random.randint(KEY, (B, T, H, W), 0, VOCAB)
+    acts = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, ACT_VOCAB)
+
+    cache = m.init_cache(B, H, W, T)
+    for t in range(3):
+        _, cache = m.apply(
+            params, toks[:, t], acts[:, t], cache, t, method=m.decode_frame
+        )
+
+    # Peek at frame 3 with garbage, discarding the returned cache.
+    garbage = jnp.full((B, H, W), 7, jnp.int32)
+    _, _ = m.apply(params, garbage, acts[:, 3], cache, 3, method=m.decode_frame)
+
+    logits_a, _ = m.apply(
+        params, toks[:, 3], acts[:, 3], cache, 3, method=m.decode_frame
+    )
+    full = m.apply(params, toks, acts)
+    np.testing.assert_allclose(
+        np.asarray(logits_a), np.asarray(full[:, 3]), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_cached_rollout_matches_full_rollout():
+    """End-to-end: the cached Genie rollout equals the full-buffer rollout
+    token-for-token under the same PRNG keys (tiny model, f32)."""
+    from open_genie_tpu.models.genie import Genie
+    from tests.test_genie import CFG
+
+    model = Genie(**CFG)
+    video = jnp.zeros((1, 4, 16, 16, 3))
+    params = model.init(KEY, video, KEY, method=model.init_full)
+
+    tokens = jax.random.randint(KEY, (1, 2, 4, 4), 0, 2 ** 6)
+    actions = jnp.zeros((1, 5), jnp.int32)
+    k = jax.random.PRNGKey(3)
+
+    fast = model.apply(params, tokens, actions, k, num_frames=3,
+                       steps_per_frame=3, method=model.rollout_tokens)
+    slow = model.apply(params, tokens, actions, k, num_frames=3,
+                       steps_per_frame=3, method=model.rollout_tokens_full)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
