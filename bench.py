@@ -181,22 +181,33 @@ def main():
     frames = 2 if args.quick else args.frames
     spf = 4 if args.quick else args.steps_per_frame
 
-    rollout_fps = bench_rollout(frames, spf, repeats)
-    tok_fps = bench_tokenizer(repeats)
-    train_fps = bench_tokenizer_train(
-        repeats, batch=2 if args.quick else 4, frames=4 if args.quick else 8
+    def safe(name, fn, *a, **kw):
+        """One failing section must not cost the driver its JSON line."""
+        try:
+            return fn(*a, **kw)
+        except Exception as e:  # pragma: no cover
+            print(f"# {name} FAILED: {type(e).__name__}: {str(e)[:200]}")
+            return None
+
+    rollout_fps = safe("rollout", bench_rollout, frames, spf, repeats)
+    tok_fps = safe("tokenizer", bench_tokenizer, repeats)
+    train_fps = safe(
+        "tokenizer_train", bench_tokenizer_train,
+        repeats, batch=2 if args.quick else 4, frames=4 if args.quick else 8,
     )
 
-    print(f"# tokenizer tokenize+decode: {tok_fps:.2f} frames/sec @ 16x64x64 (MAGVIT2, d=18)")
-    print(f"# tokenizer train step (full loss stack): {train_fps:.2f} frames/sec @ 64x64")
+    if tok_fps:
+        print(f"# tokenizer tokenize+decode: {tok_fps:.2f} frames/sec @ 16x64x64 (MAGVIT2, d=18)")
+    if train_fps:
+        print(f"# tokenizer train step (full loss stack): {train_fps:.2f} frames/sec @ 64x64")
     print(json.dumps({
         "metric": "rollout_fps",
-        "value": round(rollout_fps, 3),
+        "value": round(rollout_fps, 3) if rollout_fps else None,
         "unit": "frames/sec (64x64, action-conditioned, %d MaskGIT steps/frame)" % spf,
-        "vs_baseline": round(rollout_fps / 30.0, 3),
+        "vs_baseline": round(rollout_fps / 30.0, 3) if rollout_fps else None,
         "extra": {
-            "tokenizer_roundtrip_fps": round(tok_fps, 2),
-            "tokenizer_train_fps": round(train_fps, 2),
+            "tokenizer_roundtrip_fps": round(tok_fps, 2) if tok_fps else None,
+            "tokenizer_train_fps": round(train_fps, 2) if train_fps else None,
         },
     }))
 

@@ -109,14 +109,20 @@ def lfq_avg_entropy(
 ) -> jnp.ndarray:
     """Entropy of the batch-averaged codeword distribution (scalar).
 
-    `x` is `(n, d)` (flatten leading axes first). Chooses the direct or the
-    chunked-streaming path based on `2^d`.
+    `x` is `(n, d)` (flatten leading axes first). Small codebooks use one
+    direct matmul; large codebooks stream over codebook chunks -- via the
+    Pallas kernel (with its exact custom gradient) on TPU, or a rematerial-
+    ized `lax.map` elsewhere.
     """
     n, d = x.shape
     num_codes = 2 ** d
     if num_codes <= _DIRECT_MAX_CODES:
         q = lfq_avg_probs_direct(x, beta)
         return -jnp.sum(q * jnp.log(jnp.maximum(q, eps)))
+    if jax.default_backend() == "tpu":
+        from open_genie_tpu.ops.pallas.lfq_entropy import lfq_avg_entropy_pallas
+
+        return lfq_avg_entropy_pallas(x, beta, eps)
     return _lfq_avg_entropy_chunked(x, beta, eps)
 
 
