@@ -123,3 +123,37 @@ class GANLoss(nn.Module):
         return (
             nn.relu(1.0 + fake_score) + nn.relu(1.0 - real_score)
         ).mean()
+
+    def both(
+        self,
+        rec_video: jnp.ndarray,
+        inp_video: jnp.ndarray,
+        key: jax.Array,
+        train: bool = False,
+    ):
+        """Generator + discriminator hinge losses with EXACT gradient
+        separation under a single optimizer.
+
+        The reference sums `-E[D(fake)]` and the hinge into one total
+        (`tokenizer.py:367-379`); under one backward pass the generator term
+        also pushes the *discriminator's* params to inflate fake scores --
+        the two terms then cancel to a constant while their magnitudes run
+        away (observed: gen -> -1e4, dis -> +1e4, reconstruction destroyed).
+
+        Here the generator term is
+            gen = -mean(d_f - d_fs + sg(d_fs)),
+            d_f = D(fake), d_fs = D(sg(fake))
+        whose value is `-mean(D(fake))`, whose gradient w.r.t. D's params is
+        exactly zero (the two theta-paths cancel), and whose gradient w.r.t.
+        `fake` is the true generator gradient. `d_fs` is shared with the
+        discriminator hinge, so this costs one extra D forward, no extra
+        backward.
+        """
+        fake, real = self.examples(rec_video, inp_video, key)
+        d_fs = self.disc(jax.lax.stop_gradient(fake), train=train)
+        d_f = self.disc(fake, train=train)
+        d_r = self.disc(real, train=train)
+
+        gen_loss = -(d_f - d_fs + jax.lax.stop_gradient(d_fs)).mean()
+        dis_loss = (nn.relu(1.0 + d_fs) + nn.relu(1.0 - d_r)).mean()
+        return gen_loss, dis_loss

@@ -12,6 +12,13 @@ reference's hot spot at d=18); see `ops/lfq.py` for the factorized /
 blockwise math. The diversity term is *subtracted* (MagViT-2 semantics); the
 reference adds it (`quantization.py:125`), which would penalize codebook
 diversity.
+
+Multi-codebook note (`num_codebook > 1`): the entropy terms treat the
+codebook axis as extra batch (each sub-codebook's tokens pool into one
+average distribution over `2^d` codes). The reference instead averages
+per-sub-codebook distributions separately and means their entropies
+(`quantization.py:119-123`); identical for the default `num_codebook=1`,
+and a lower bound on the reference's value otherwise.
 """
 from __future__ import annotations
 

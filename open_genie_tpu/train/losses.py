@@ -83,9 +83,15 @@ class TokenizerTrainModule(nn.Module):
 
         gen_loss = dis_loss = zero
         if self.gan_loss_weight > 0:
-            if gan_branch in ("both", "gen"):
+            if gan_branch == "both":
+                # Single-optimizer objective with exact G/D gradient
+                # separation (see GANLoss.both).
+                gen_loss, dis_loss = self.gan_crit.both(
+                    rec, video, k_gan, train=train
+                )
+            elif gan_branch == "gen":
                 gen_loss = self.gan_crit(rec, video, k_gan, train_gen=True, train=train)
-            if gan_branch in ("both", "dis"):
+            elif gan_branch == "dis":
                 dis_loss = self.gan_crit(rec, video, k_gan, train_gen=False, train=train)
 
         perc_loss = zero
