@@ -13,12 +13,9 @@ blockwise math. The diversity term is *subtracted* (MagViT-2 semantics); the
 reference adds it (`quantization.py:125`), which would penalize codebook
 diversity.
 
-Multi-codebook note (`num_codebook > 1`): the entropy terms treat the
-codebook axis as extra batch (each sub-codebook's tokens pool into one
-average distribution over `2^d` codes). The reference instead averages
-per-sub-codebook distributions separately and means their entropies
-(`quantization.py:119-123`); identical for the default `num_codebook=1`,
-and a lower bound on the reference's value otherwise.
+Multi-codebook (`num_codebook > 1`): the diversity entropy is computed per
+sub-codebook and averaged, matching the reference's per-codebook averaging
+(`quantization.py:119-123`).
 """
 from __future__ import annotations
 
@@ -101,5 +98,6 @@ class LookupFreeQuantization(nn.Module):
             entropy_weight=self.entropy_weight,
             diversity_weight=self.diversity_weight,
             frac_sample=self.frac_sample,
+            num_codebooks=c,
         )
         return (out, idxs), loss, aux

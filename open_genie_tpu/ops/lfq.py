@@ -166,11 +166,16 @@ def lfq_loss(
     entropy_weight: float = 0.1,
     diversity_weight: float = 1.0,
     frac_sample: float = 1.0,
+    num_codebooks: int = 1,
 ) -> Tuple[jnp.ndarray, dict]:
-    """Full LFQ training loss on `(..., d)` pre-quantization features.
+    """Full LFQ training loss on `(..., [c,] d)` pre-quantization features.
 
     Returns `(loss, aux)` where aux holds the individual terms. `quant` is
     the sign-quantized target for the commitment MSE (gradients blocked).
+
+    With `num_codebooks > 1` the diversity entropy is computed per
+    sub-codebook and averaged, matching the reference's per-codebook
+    averaging (`quantization.py:119-123`).
 
     `frac_sample < 1` subsamples (strided) the tokens entering the
     *diversity* entropy -- the O(n * 2^d) term -- which the reference
@@ -181,13 +186,25 @@ def lfq_loss(
     flat = x.reshape(-1, d)
 
     sample_ent = lfq_sample_entropy(flat, beta)
-    ent_inp = flat
-    if frac_sample < 1.0:
-        n = flat.shape[0]
+
+    def subsample(v):
+        if frac_sample >= 1.0:
+            return v
+        n = v.shape[0]
         k = max(1, int(n * frac_sample))
         stride = max(1, n // k)
-        ent_inp = flat[::stride][:k]
-    avg_ent = lfq_avg_entropy(ent_inp, beta)
+        return v[::stride][:k]
+
+    if num_codebooks > 1:
+        per_cb = x.reshape(-1, num_codebooks, d)
+        avg_ent = jnp.mean(
+            jnp.stack([
+                lfq_avg_entropy(subsample(per_cb[:, c]), beta)
+                for c in range(num_codebooks)
+            ])
+        )
+    else:
+        avg_ent = lfq_avg_entropy(subsample(flat), beta)
     entropy_loss = sample_ent - diversity_weight * avg_ent
 
     commit_loss = jnp.mean(
