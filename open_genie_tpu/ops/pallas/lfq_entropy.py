@@ -206,7 +206,7 @@ def _bwd(beta, eps, token_block, code_chunk, interpret, res, g):
     # dH/dx = (2*beta/n) * (tanh(2*beta*x) * S - T); the kernel returns the
     # parenthesized quantity scaled by 2*beta.
     dx = _grad_x(x, w, beta, token_block, code_chunk, interpret) / n
-    return (g * dx.astype(x.dtype),)
+    return ((g * dx).astype(x.dtype),)
 
 
 lfq_avg_entropy_pallas.defvjp(_fwd, _bwd)

@@ -110,8 +110,19 @@ def make_train_step(
             batch = batch.astype(compute_dtype)
 
         def loss_fn(params):
+            if compute_dtype is not None:
+                # True mixed precision: compute (incl. conv/matmul weights)
+                # in bf16, master weights and the optimizer stay f32 --
+                # gradients flow through the cast back to f32.
+                apply_params = jax.tree.map(
+                    lambda p: p.astype(compute_dtype)
+                    if p.dtype == jnp.float32 else p,
+                    params,
+                )
+            else:
+                apply_params = params
             loss, metrics = module.apply(
-                {"params": params}, batch, sub, **loss_kwargs
+                {"params": apply_params}, batch, sub, **loss_kwargs
             )
             return loss.astype(jnp.float32), metrics
 

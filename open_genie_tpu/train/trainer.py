@@ -157,10 +157,31 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         state, start_step = restore_checkpoint(tcfg.ckpt_dir, state)
 
     state = shard_state(state, mesh)
-    step_fn = make_train_step(
-        module, optimizer, mesh=mesh,
-        compute_dtype=_compute_dtype(tcfg.precision),
-    )
+    if tcfg.gan_alternate and mcfg.gan_loss_weight > 0:
+        # Alternating G/D optimization: even steps train the generator
+        # branch, odd steps the discriminator branch (a config switch over
+        # the reference's single summed objective, SURVEY section 7).
+        step_gen = make_train_step(
+            module, optimizer, mesh=mesh,
+            compute_dtype=_compute_dtype(tcfg.precision),
+            loss_kwargs={"gan_branch": "gen"},
+        )
+        step_dis = make_train_step(
+            module, optimizer, mesh=mesh,
+            compute_dtype=_compute_dtype(tcfg.precision),
+            loss_kwargs={"gan_branch": "dis"},
+        )
+        counter = {"i": 0}
+
+        def step_fn(state, batch):
+            fn = step_gen if counter["i"] % 2 == 0 else step_dis
+            counter["i"] += 1
+            return fn(state, batch)
+    else:
+        step_fn = make_train_step(
+            module, optimizer, mesh=mesh,
+            compute_dtype=_compute_dtype(tcfg.precision),
+        )
     val_loader = val_fn = None
     if tcfg.val_check_interval:
         val_ds = build_dataset(cfg.data, split="val")
