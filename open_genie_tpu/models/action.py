@@ -45,6 +45,10 @@ class LatentAction(nn.Module):
     lfq_entropy_weight: float = 0.1
     lfq_diversity_weight: float = 1.0
     quant_loss_weight: float = 1.0
+    # Activation checkpointing: the encoder/decoder attend over the full
+    # (H*W) grid per frame; without remat their backward residuals OOM HBM
+    # at 64x64 training resolution. No effect outside `grad`.
+    remat: bool = True
 
     def setup(self):
         enc_fact = blueprint_st_factor(self.enc_desc)
@@ -61,8 +65,12 @@ class LatentAction(nn.Module):
         self.proj_out = CausalConv3d(
             self.n_embd, self.inp_channels, kernel_size=self.ker_size
         )
-        self.enc_layers, self.enc_ext = parse_blueprint(self.enc_desc)
-        self.dec_layers, self.dec_ext = parse_blueprint(self.dec_desc)
+        self.enc_layers, self.enc_ext = parse_blueprint(
+            self.enc_desc, remat=self.remat
+        )
+        self.dec_layers, self.dec_ext = parse_blueprint(
+            self.dec_desc, remat=self.remat
+        )
 
         h, w = cast_tuple(self.inp_shape, 2)
         # Per-frame flattened (h', w', c) -> d_codebook projection.
@@ -97,7 +105,7 @@ class LatentAction(nn.Module):
         """
         x = self.proj_in(video)
         for enc, has_ext in zip(self.enc_layers, self.enc_ext):
-            x = enc(x, mask=mask, train=training)
+            x = enc(x, None, mask, training)  # positional: remat-compatible
 
         b, t = x.shape[:2]
         act = self.to_act(x.reshape(b, t, -1))  # (B, T, d_codebook)
@@ -118,9 +126,7 @@ class LatentAction(nn.Module):
         x = enc_video
         for dec, has_ext in zip(self.dec_layers, self.dec_ext):
             x = dec(
-                x,
-                cond=(None, q_act) if has_ext else None,
-                train=training,
+                x, (None, q_act) if has_ext else None, None, training,
             )
         return self.proj_out(x)
 

@@ -67,9 +67,13 @@ class DynamicsModel(nn.Module):
     tok_vocab: int
     act_vocab: int
     embed_dim: int
+    # remat is opt-in here: token grids are small (memory is not the
+    # constraint) and the KV-cached decode path calls layers with kwargs,
+    # which lifted remat does not support.
+    remat: bool = False
 
     def setup(self):
-        self.layers, self.ext_kw = parse_blueprint(self.desc)
+        self.layers, self.ext_kw = parse_blueprint(self.desc, remat=self.remat)
         self.tok_emb = nn.Embed(self.tok_vocab, self.embed_dim)
         self.act_emb = nn.Embed(self.act_vocab, self.embed_dim)
         self.head = nn.Dense(self.tok_vocab)
@@ -87,7 +91,7 @@ class DynamicsModel(nn.Module):
         """
         x = self.tok_emb(tokens) + self.act_emb(act_id)[:, :, None, None, :]
         for layer, has_ext in zip(self.layers, self.ext_kw):
-            x = layer(x, train=train)
+            x = layer(x, None, None, train)
         return self.head(x)
 
     # ------------------------------------------------------------------ #

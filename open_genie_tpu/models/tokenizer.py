@@ -64,10 +64,17 @@ class VideoTokenizer(nn.Module):
     lfq_commit_weight: float = 0.25
     lfq_entropy_weight: float = 0.1
     lfq_diversity_weight: float = 1.0
+    # Activation checkpointing for the conv/attention stacks (memory lever
+    # for full-resolution training; no effect outside `grad`).
+    remat: bool = True
 
     def setup(self):
-        self.enc_layers, self.enc_ext = parse_blueprint(self.enc_desc)
-        self.dec_layers, self.dec_ext = parse_blueprint(self.dec_desc)
+        self.enc_layers, self.enc_ext = parse_blueprint(
+            self.enc_desc, remat=self.remat
+        )
+        self.dec_layers, self.dec_ext = parse_blueprint(
+            self.dec_desc, remat=self.remat
+        )
 
         last_enc = _last_out_channels(self.enc_desc)
         first_dec = _first_in_channels(self.dec_desc)
@@ -90,7 +97,7 @@ class VideoTokenizer(nn.Module):
         """Run the encoder stack (`tokenizer.py:307-317`)."""
         x = video
         for layer, has_ext in zip(self.enc_layers, self.enc_ext):
-            x = layer(x, cond=cond if has_ext else None, train=train)
+            x = layer(x, cond if has_ext else None, None, train)
         return x
 
     def decode(self, quant, cond=None, train: bool = False):
@@ -100,7 +107,7 @@ class VideoTokenizer(nn.Module):
         cond = default(cond, quant)
         x = quant
         for layer, has_ext in zip(self.dec_layers, self.dec_ext):
-            x = layer(x, cond=cond if has_ext else None, train=train)
+            x = layer(x, cond if has_ext else None, None, train)
         return x
 
     def quantize(self, enc_video, beta: float = 100.0, training: bool = False):

@@ -96,7 +96,7 @@ def _sanitize_kwargs(name: str, kwargs: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def parse_blueprint(
-    blueprint: Blueprint, named: bool = False
+    blueprint: Blueprint, named: bool = False, remat: bool = False
 ) -> Tuple[List[nn.Module], List[bool]]:
     """Expand a blueprint into `(module_instances, has_ext_flags)`.
 
@@ -108,6 +108,12 @@ def parse_blueprint(
     `named=True` gives layers stable descriptive Flax names (only valid in an
     `@nn.compact` context); `named=False` (for `setup`-assigned lists, where
     Flax forbids explicit names) lets Flax autoname them by list position.
+
+    `remat=True` wraps each layer in `nn.remat` (activation checkpointing):
+    backward recomputes the layer instead of storing its intermediates --
+    the memory lever for attention-heavy stacks at full video resolution.
+    Rematted layers must be called positionally as
+    `layer(x, cond, mask, train)` (mask/train static).
     """
     layers: List[nn.Module] = []
     ext_kw: List[bool] = []
@@ -121,6 +127,8 @@ def parse_blueprint(
         n_rep = int(kwargs.pop("n_rep", 1))
         kwargs = _sanitize_kwargs(name, kwargs)
         cls = get_module(name)
+        if remat:
+            cls = nn.remat(cls, static_argnums=(3, 4))
         for r in range(n_rep):
             if named:
                 kwargs_n = dict(
@@ -153,12 +161,7 @@ class BlueprintStack(nn.Module):
 
         for i, (layer, has_ext) in enumerate(zip(self.layers, self.ext_flags)):
             with jax.named_scope(f"{type(layer).__name__}_{i}"):
-                x = layer(
-                    x,
-                    cond=cond if has_ext else None,
-                    mask=mask,
-                    train=train,
-                )
+                x = layer(x, cond if has_ext else None, mask, train)
         return x
 
     @property

@@ -14,11 +14,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# Sequence length above which the Pallas flash kernel pays off. Measured on
-# v5e: XLA's attention still wins at 4096 (35.8ms vs 41.5ms for
-# (8,4,4096,64) bf16 fwd); the flash kernel's O(N) memory only matters
-# beyond that.
-_FLASH_MIN_SEQ = 8192
+# Sequence length above which the Pallas flash kernel is used. Measured on
+# v5e: XLA's attention fwd is ~15% faster at 4096, but under `grad` it
+# stores the (N, N) probability matrix as a residual (8.6 GB for the
+# latent-action model's 4096-token spatial attention -> HBM OOM); the flash
+# kernel's residuals are O(N), so it wins where training memory matters.
+_FLASH_MIN_SEQ = 2048
 
 
 def dot_product_attention(
