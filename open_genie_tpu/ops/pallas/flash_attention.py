@@ -1,20 +1,29 @@
-"""Flash attention Pallas kernel (TPU) with online softmax.
+"""Flash attention Pallas kernels (TPU): fwd + bwd with O(N) memory.
 
 Used by `open_genie_tpu.ops.attention.dot_product_attention` for long
-sequences (spatial attention over large grids). Canonical tiling: the grid
-iterates (batch*heads, q-blocks, k-blocks); an f32 accumulator plus running
-max/denominator live in VMEM scratch, and the epilogue writes the normalized
-block. Causal masking skips fully-masked k-blocks.
+sequences (the latent-action spatial attention runs 4096 tokens per frame).
+XLA's attention stores the (N, N) probability matrix as a backward residual
+(8.6 GB for that model -> HBM OOM at training resolution); here the forward
+saves only (q, k, v, out, logsumexp) and the backward recomputes probability
+tiles blockwise, so peak memory is O(N * block).
 
-The backward pass recomputes attention with the XLA path (O(N^2) memory in
-the backward only) via `jax.custom_vjp`; a fused Pallas backward is a
-planned perf-pass item. Forward-only consumers (the MaskGIT rollout, the
-tokenize path) never hit the backward.
+Forward: canonical online-softmax tiling over (batch*heads, q-blocks,
+k-blocks) with f32 accumulators in VMEM; also emits the per-row logsumexp.
+
+Backward (standard flash-attention math):
+  delta_i = rowsum(dout_i * out_i)
+  p_ij    = exp(s * q_i k_j - lse_i)            (recomputed per tile)
+  dv_j    = sum_i p_ij dout_i
+  ds_ij   = p_ij * (dout_i v_j - delta_i)
+  dq_i    = s * sum_j ds_ij k_j
+  dk_j    = s * sum_i ds_ij q_i
+split into a dk/dv kernel (grid over k-blocks, accumulating over q-blocks)
+and a dq kernel (grid over q-blocks, accumulating over k-blocks).
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,10 +36,14 @@ DEFAULT_BLOCK_K = 256
 _NEG_INF = -1e30
 
 
-def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref,
+# --------------------------------------------------------------------- #
+# Forward
+# --------------------------------------------------------------------- #
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref,
     acc_ref, m_ref, l_ref,
-    *, scale: float, causal: bool, block_q: int, block_k: int, seq_k: int,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -44,38 +57,37 @@ def _flash_kernel(
 
     should_run = True
     if causal:
-        # q block rows span [qi*bq, qi*bq + bq); k cols [kj*bk, ...).
         should_run = kj * block_k <= qi * block_q + block_q - 1
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)  # (bq, d)
-        k = k_ref[0].astype(jnp.float32)  # (bk, d)
-        v = v_ref[0].astype(jnp.float32)  # (bk, d)
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
 
-        s = jax.lax.dot_general(
+        s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (bq, bk)
+        ) * scale
 
         if causal:
-            rows = qi * block_q + jax.lax.broadcasted_iota(
+            rows = qi * block_q + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
-            cols = kj * block_k + jax.lax.broadcasted_iota(
+            cols = kj * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
             s = jnp.where(cols <= rows, s, _NEG_INF)
 
-        m_prev = m_ref[:, :1]  # (bq, 1)
+        m_prev = m_ref[:, :1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
 
-        p = jnp.exp(s - m_new)  # (bq, bk)
-        correction = jnp.exp(m_prev - m_new)  # (bq, 1)
-        l_new = correction * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_new = corr * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
-        acc_ref[:] = acc_ref[:] * correction + jax.lax.dot_general(
+        acc_ref[:] = acc_ref[:] * corr + lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -84,16 +96,14 @@ def _flash_kernel(
 
     @pl.when(kj == nk - 1)
     def _epilogue():
-        denom = jnp.maximum(l_ref[:, :1], 1e-30)
-        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        l = jnp.maximum(l_ref[:, :1], 1e-30)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:, :1] + jnp.log(l)).astype(lse_ref.dtype)
 
 
 def _flash_forward(
-    q, k, v, scale: float, causal: bool,
-    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
-    interpret: bool = False,
-):
-    """q, k, v: (BH, N, D) -> (BH, N, D)."""
+    q, k, v, scale, causal, block_q, block_k, interpret
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     bh, nq, d = q.shape
     nk = k.shape[1]
     block_q = min(block_q, nq)
@@ -104,11 +114,10 @@ def _flash_forward(
 
     grid = (bh, nq // block_q, nk // block_k)
     kernel = functools.partial(
-        _flash_kernel,
-        scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k, seq_k=nk,
+        _fwd_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k,
     )
-    return pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -116,8 +125,16 @@ def _flash_forward(
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            # (bh, nq, 1): trailing block dims (block_q, 1) satisfy the
+            # TPU (8, 128)-or-full tiling rule.
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nq, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -125,35 +142,237 @@ def _flash_forward(
         ],
         interpret=interpret,
     )(q, k, v)
+    return out, lse
 
 
-def _xla_reference(q, k, v, scale, causal):
-    logits = jnp.einsum(
-        "bqd,bkd->bqk", q.astype(jnp.float32), k.astype(jnp.float32)
-    ) * scale
+# --------------------------------------------------------------------- #
+# Backward
+# --------------------------------------------------------------------- #
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+):
+    kj = pl.program_id(1)
+    qi = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    should_run = True
     if causal:
-        nq, nk = logits.shape[-2], logits.shape[-1]
-        row = jnp.arange(nq)[:, None] + (nk - nq)
-        mask = jnp.arange(nk)[None, :] <= row
-        logits = jnp.where(mask, logits, -jnp.inf)
-    probs = jax.nn.softmax(logits, axis=-1)
-    return jnp.einsum("bqk,bkd->bqd", probs, v.astype(jnp.float32)).astype(q.dtype)
+        # q block contributes to this k block iff any row i >= col j.
+        should_run = qi * block_q + block_q - 1 >= kj * block_k
 
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)     # (bq, d)
+        k = k_ref[0].astype(jnp.float32)     # (bk, d)
+        v = v_ref[0].astype(jnp.float32)     # (bk, d)
+        do = do_ref[0].astype(jnp.float32)   # (bq, d)
+        lse = lse_ref[0]                      # (bq, 1)
+        delta = delta_ref[0]                  # (bq, 1)
+
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                            # (bq, bk)
+        if causal:
+            rows = qi * block_q + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            cols = kj * block_k + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(cols <= rows, s, _NEG_INF)
+
+        p = jnp.exp(s - lse)                 # (bq, bk)
+        # dv_j += p^T dout
+        dv_acc[:] += lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                    # (bq, bk)
+        ds = p * (dp - delta)
+        # dk_j += s * ds^T q
+        dk_acc[:] += scale * lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == n_q - 1)
+    def _emit():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_acc,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+):
+    qi = pl.program_id(1)
+    kj = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(kj == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    should_run = True
+    if causal:
+        should_run = kj * block_k <= qi * block_q + block_q - 1
+
+    @pl.when(should_run)
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0]
+        delta = delta_ref[0]
+
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if causal:
+            rows = qi * block_q + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            cols = kj * block_k + lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            s = jnp.where(cols <= rows, s, _NEG_INF)
+
+        p = jnp.exp(s - lse)
+        dp = lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dq_acc[:] += scale * lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(kj == n_k - 1)
+    def _emit():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, do, scale, causal, block_q, block_k,
+                    interpret):
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    block_q = min(block_q, nq)
+    block_k = min(block_k, nk)
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )  # (bh, nq, 1)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), None),   # q     (index_map set below)
+        pl.BlockSpec((1, block_k, d), None),   # k
+        pl.BlockSpec((1, block_k, d), None),   # v
+        pl.BlockSpec((1, block_q, d), None),   # dout
+        pl.BlockSpec((1, block_q), None),      # lse
+        pl.BlockSpec((1, block_q), None),      # delta
+    ]
+
+    # dk/dv: grid (bh, k-blocks, q-blocks)
+    kv_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k,
+        ),
+        grid=(bh, nk // block_k, nq // block_q),
+        in_specs=kv_specs,
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nk, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nk, d), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    # dq: grid (bh, q-blocks, k-blocks)
+    q_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k,
+        ),
+        grid=(bh, nq // block_q, nk // block_k),
+        in_specs=q_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    return dq, dk, dv
+
+
+# --------------------------------------------------------------------- #
+# custom-vjp wrapper
+# --------------------------------------------------------------------- #
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash(q, k, v, scale, causal, interpret):
-    return _flash_forward(q, k, v, scale, causal, interpret=interpret)
+    out, _ = _flash_forward(
+        q, k, v, scale, causal, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, interpret
+    )
+    return out
 
 
 def _flash_fwd(q, k, v, scale, causal, interpret):
-    out = _flash_forward(q, k, v, scale, causal, interpret=interpret)
-    return out, (q, k, v)
+    out, lse = _flash_forward(
+        q, k, v, scale, causal, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, interpret
+    )
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, causal, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, scale, causal), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    dq, dk, dv = _flash_backward(
+        q, k, v, out, lse, g, scale, causal,
+        DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, interpret,
+    )
+    return dq, dk, dv
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -167,7 +386,11 @@ def flash_attention(
     causal: bool = False,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Flash attention over `(B, H, N, D)` tensors (self-attention shapes)."""
+    """Flash attention over `(B, H, N, D)` tensors (self-attention shapes).
+
+    O(N) residual memory in training (q, k, v, out, lse); probability tiles
+    are recomputed blockwise in both kernels.
+    """
     b, h, n, d = q.shape
     if scale is None:
         scale = d ** -0.5
