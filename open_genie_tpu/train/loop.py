@@ -71,12 +71,15 @@ def create_train_state(
     init_kwargs: Optional[dict] = None,
 ) -> TrainState:
     init_kwargs = init_kwargs or {}
-    k_init, k_loss, k_state = jax.random.split(key, 3)
+    k_init, k_drop, k_loss, k_state = jax.random.split(key, 4)
     # jitted init: one compile + one exec instead of thousands of eager
-    # dispatches (critical over a remote-device tunnel).
+    # dispatches (critical over a remote-device tunnel). A 'dropout' rng is
+    # supplied so dropout-enabled blueprints initialize.
     variables = jax.jit(
-        lambda k: module.init(k, sample_batch, k_loss, **init_kwargs)
-    )(k_init)
+        lambda k, kd: module.init(
+            {"params": k, "dropout": kd}, sample_batch, k_loss, **init_kwargs
+        )
+    )(k_init, k_drop)
     params = variables["params"]
     opt_state = optimizer.init(params)
     return TrainState(
@@ -105,7 +108,7 @@ def make_train_step(
     loss_kwargs = dict(loss_kwargs or {})
 
     def step_fn(state: TrainState, batch):
-        key, sub = jax.random.split(state.key)
+        key, sub, k_drop = jax.random.split(state.key, 3)
         if compute_dtype is not None:
             batch = batch.astype(compute_dtype)
 
@@ -122,7 +125,8 @@ def make_train_step(
             else:
                 apply_params = params
             loss, metrics = module.apply(
-                {"params": apply_params}, batch, sub, **loss_kwargs
+                {"params": apply_params}, batch, sub,
+                rngs={"dropout": k_drop}, **loss_kwargs
             )
             return loss.astype(jnp.float32), metrics
 
