@@ -401,14 +401,14 @@ class SpaceTimeAttention(nn.Module):
             name="ffn",
         )
         if decode:
-            # Run the causal FFN over [prev (k_t - 1) frames, current]; the
-            # last output frame equals the full-sequence output at this
-            # position. New 'ffn' cache = trailing window.
+            # Run the FFN VALID-in-time over [prev (k_t - 1) frames,
+            # current]: the window is exactly the causal receptive field,
+            # producing only the one output frame this step needs (k_t x
+            # less conv work). New 'ffn' cache = trailing window.
             window = jnp.concatenate(
                 [cache["ffn"].astype(video.dtype), video], axis=1
             )
-            ffn_full = ffn_mod(window, train=train)
-            ffn = ffn_full[:, -1:]
+            ffn = ffn_mod(window, train=train, time_valid=True)
             new_ffn = window[:, 1:]
         else:
             ffn = ffn_mod(video, train=train)

@@ -40,7 +40,14 @@ class ForwardBlock(nn.Module):
     causal_time: bool = False
 
     @nn.compact
-    def __call__(self, x, cond=None, mask=None, train: bool = False):
+    def __call__(
+        self, x, cond=None, mask=None, train: bool = False,
+        time_valid: bool = False,
+    ):
+        """`time_valid=True` (conv3d+causal_time decode mode): no temporal
+        padding, so a window of exactly the receptive field produces the
+        single output frame a cached decode step needs -- k_t x less conv
+        work than padding and discarding."""
         out_dim = default(self.out_dim, self.in_dim)
         hid = self.hid_dim
         if isinstance(hid, int):
@@ -55,7 +62,7 @@ class ForwardBlock(nn.Module):
             k = cast_tuple(self.kernel_size, nd)
             pad = [((kk - 1) // 2, (kk - 1) // 2) for kk in k]
             if self.block == "conv3d" and self.causal_time:
-                pad[0] = (k[0] - 1, 0)
+                pad[0] = (0, 0) if time_valid else (k[0] - 1, 0)
             return nn.Conv(
                 features,
                 kernel_size=k,
