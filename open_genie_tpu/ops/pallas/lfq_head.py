@@ -1,0 +1,97 @@
+"""Pallas kernel: fused tokenizer head -- 1x1 conv projection + LFQ quantize.
+
+The MAGVIT2 encoder ends in a 1x1 CausalConv3d to `d_codebook` channels
+followed by LFQ sign quantization and bit-packed index extraction
+(`/root/reference/genie/tokenizer.py:79-84` + `quantization.py:97-98`) --
+SURVEY.md section 7's "fused causal-conv3d + LFQ sign/index" north-star.
+This kernel fuses projection, sign codes, and integer indices into one VMEM
+pass: tokens stream through as `(block, C)` tiles, the `(C, d)` weight
+stays resident, and neither the pre-quantization features nor separate
+sign/index passes round-trip HBM.
+
+(A 1x1 conv over channels-last video IS a matmul over flattened tokens, so
+the kernel serves any spatial/temporal grid.)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 1024
+
+
+def _head_kernel(x_ref, w_ref, b_ref, code_ref, idx_ref, *, d: int):
+    x = x_ref[:].astype(jnp.float32)        # (block, C)
+    w = w_ref[:].astype(jnp.float32)        # (C, d)
+    b = b_ref[:].astype(jnp.float32)        # (1, d)
+
+    z = lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b                                    # (block, d)
+
+    pos = z > 0
+    code_ref[:] = jnp.where(pos, 1.0, -1.0).astype(code_ref.dtype)
+    weights = (2 ** (d - 1 - lax.broadcasted_iota(jnp.int32, z.shape, 1)))
+    idx_ref[:, :1] = jnp.sum(
+        pos.astype(jnp.int32) * weights, axis=-1, keepdims=True
+    )
+
+
+def lfq_head(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused projection + LFQ for inference tokenization.
+
+    Args:
+      x: `(..., C)` encoder features (any leading shape; flattened to
+        tokens).
+      w: `(C, d)` head kernel (the 1x1 conv's `(1,1,1,C,d)` kernel squeezed).
+      b: `(d,)` bias.
+
+    Returns `(codes (..., d) in {-1,+1}, idxs (...) int32)` -- exactly
+    `sign(x @ w + b)` and its MSB-first bit-packed index.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = x.shape[:-1]
+    c = x.shape[-1]
+    d = w.shape[-1]
+    flat = x.reshape(-1, c)
+    n = flat.shape[0]
+    pad = (-n) % block
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad, c), flat.dtype)], 0)
+
+    codes, idxs = pl.pallas_call(
+        functools.partial(_head_kernel, d=d),
+        grid=(flat.shape[0] // block,),
+        in_specs=[
+            pl.BlockSpec((block, c), lambda i: (i, 0)),
+            pl.BlockSpec((c, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, d), lambda i: (i, 0)),
+            pl.BlockSpec((block, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((flat.shape[0], d), x.dtype),
+            jax.ShapeDtypeStruct((flat.shape[0], 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(flat, w, b.reshape(1, d))
+
+    codes = codes[:n].reshape(*lead, d)
+    idxs = idxs[:n, 0].reshape(lead)
+    return codes, idxs

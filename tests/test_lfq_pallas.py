@@ -46,3 +46,22 @@ def test_token_padding():
     ent = lfq_avg_entropy_pallas(x, beta, 1e-6, 32, 256, True)
     ref = _ref_entropy(x, beta)
     np.testing.assert_allclose(float(ent), float(ref), rtol=5e-3)
+
+
+def test_fused_head_matches_reference():
+    """Fused 1x1-conv + LFQ head == matmul + sign + bit-pack."""
+    from open_genie_tpu.ops.lfq import bit_mask
+    from open_genie_tpu.ops.pallas.lfq_head import lfq_head
+
+    c, d = 32, 10
+    x = jax.random.normal(KEY, (2, 3, 4, 4, c))
+    w = jax.random.normal(jax.random.PRNGKey(1), (c, d)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(2), (d,)) * 0.1
+
+    codes, idxs = lfq_head(x, w, b, block=16, interpret=True)
+
+    z = x @ w + b
+    ref_codes = jnp.where(z > 0, 1.0, -1.0)
+    ref_idxs = jnp.sum((z > 0).astype(jnp.int32) * bit_mask(d), axis=-1)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(ref_codes))
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ref_idxs))

@@ -54,6 +54,43 @@ def test_param_shardings_skips_indivisible():
     assert sh["to_q"]["kernel"].spec == P()
 
 
+def test_data_parallel_rollout():
+    """Batched MaskGIT rollout with the batch sharded over the data axis:
+    GSPMD partitions the whole compiled rollout (serving-style scaling)."""
+    import jax.numpy as jnp
+
+    from open_genie_tpu.models.genie import Genie
+    from open_genie_tpu.parallel.mesh import batch_sharding
+    from tests.test_genie import CFG
+
+    model = Genie(**CFG)
+    key = jax.random.PRNGKey(0)
+    video = jnp.zeros((1, 4, 16, 16, 3))
+    params = model.init(key, video, key, method=model.init_full)
+
+    mesh = make_mesh()
+    tokens = jax.device_put(
+        jax.random.randint(key, (8, 2, 4, 4), 0, 2 ** 6),
+        batch_sharding(mesh),
+    )
+    actions = jax.device_put(
+        jnp.zeros((8, 4), jnp.int32), batch_sharding(mesh)
+    )
+
+    fn = jax.jit(
+        lambda p, t, a, k: model.apply(
+            p, t, a, k, num_frames=2, steps_per_frame=2,
+            method=model.rollout_tokens,
+        ),
+        in_shardings=(None, batch_sharding(mesh), batch_sharding(mesh), None),
+    )
+    out = fn(params, tokens, actions, jax.random.PRNGKey(1))
+    assert out.shape == (8, 4, 4, 4)
+    np.testing.assert_array_equal(
+        np.asarray(out[:, :2]), np.asarray(jax.device_get(tokens))
+    )
+
+
 def test_psum_over_data_axis():
     """Collectives ride the mesh: manual shard_map reduction sanity check."""
     from jax.experimental.shard_map import shard_map
