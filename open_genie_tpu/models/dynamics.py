@@ -206,6 +206,7 @@ class DynamicsModel(nn.Module):
         which: str = "linear",
         temp: float = 1.0,
         masked_tok: int = 0,
+        use_cache: bool = True,
     ) -> jnp.ndarray:
         """Append one frame via iterative confidence-based masked decoding.
 
@@ -216,9 +217,19 @@ class DynamicsModel(nn.Module):
             slot, matching the reference's `mock` (`dynamics.py:126`).
           key: PRNG key for the per-step categorical sampling.
           steps/which/temp: schedule config (static under jit).
+          use_cache: run refinement through the KV-cached single-frame
+            decode (O(1) in history per step); falls back to full
+            re-forwards for trunks without decode support.
 
         Returns `(B, T+1, H, W)` tokens with the generated frame appended.
         """
+        if use_cache:
+            try:
+                return self._generate_cached(
+                    tokens, act_id, key, steps, which, temp, masked_tok
+                )
+            except AssertionError:
+                pass  # non-ST-attention trunk: full-forward fallback
         b, t, h, w = tokens.shape
         schedule = jnp.asarray(get_schedule(steps, (h, w), which))
         keys = jax.random.split(key, steps)
@@ -258,3 +269,51 @@ class DynamicsModel(nn.Module):
 
         (mask, code), _ = lax.scan(step, (mask0, code0), (schedule, keys))
         return buf.at[:, -1].set(code.reshape(b, h, w))
+
+    def _generate_cached(
+        self, tokens, act_id, key, steps, which, temp, masked_tok
+    ) -> jnp.ndarray:
+        """Cache-backed `generate`: prefill the history once, then refine
+        only the new frame (the reference re-forwards the full sequence
+        every step, `dynamics.py:136`)."""
+        b, t, h, w = tokens.shape
+        cache = self.init_cache(b, h, w, t + 1)
+        schedule = jnp.asarray(get_schedule(steps, (h, w), which))
+        keys = jax.random.split(key, steps)
+
+        def prefill(cache, inp):
+            pos, frame, act = inp
+            _, cache = self.decode_frame(frame, act, cache, pos)
+            return cache, None
+
+        cache, _ = lax.scan(
+            prefill,
+            cache,
+            (jnp.arange(t), jnp.moveaxis(tokens, 1, 0),
+             jnp.moveaxis(act_id, 1, 0)),
+        )
+
+        act_new = jnp.zeros((b,), act_id.dtype)  # reference's `mock` action
+        mask0 = jnp.ones((b, h * w), dtype=bool)
+        code0 = jnp.full((b, h * w), masked_tok, dtype=tokens.dtype)
+
+        def step(carry, inp):
+            mask, code = carry
+            num_tokens, k = inp
+            frame = jnp.where(mask, masked_tok, code).reshape(b, h, w)
+            logits, _ = self.decode_frame(frame, act_new, cache, t)
+            logits = logits.reshape(b, h * w, -1).astype(jnp.float32) / temp
+            pred = jax.random.categorical(k, logits, axis=-1)
+            prob = jax.nn.softmax(logits, axis=-1)
+            conf = jnp.take_along_axis(prob, pred[..., None], axis=-1)[..., 0]
+            conf = jnp.where(mask, conf, -jnp.inf)
+            order = jnp.argsort(-conf, axis=-1)
+            rank = jnp.argsort(order, axis=-1)
+            commit = (rank < num_tokens) & mask
+            code = jnp.where(commit, pred.astype(code.dtype), code)
+            return (mask & ~commit, code), None
+
+        (mask, code), _ = lax.scan(step, (mask0, code0), (schedule, keys))
+        return jnp.concatenate(
+            [tokens, code.reshape(b, 1, h, w)], axis=1
+        )

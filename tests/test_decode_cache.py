@@ -94,3 +94,17 @@ def test_cached_rollout_matches_full_rollout():
     slow = model.apply(params, tokens, actions, k, num_frames=3,
                        steps_per_frame=3, method=model.rollout_tokens_full)
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_generate_cached_matches_full(model_and_params):
+    """DynamicsModel.generate: cached path == full re-forward path."""
+    m, params = model_and_params
+    toks = jax.random.randint(KEY, (B, T, H, W), 0, VOCAB)
+    acts = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, ACT_VOCAB)
+    k = jax.random.PRNGKey(9)
+
+    fast = m.apply(params, toks, acts, k, steps=4, method=m.generate)
+    slow = m.apply(
+        params, toks, acts, k, steps=4, use_cache=False, method=m.generate
+    )
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
