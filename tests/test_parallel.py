@@ -104,3 +104,33 @@ def test_psum_over_data_axis():
     )
     out = f(x)
     np.testing.assert_allclose(np.asarray(out), x.sum())
+
+
+def test_sequence_parallel_temporal_attention():
+    """Sequence parallelism as the factorized attention realizes it: shard
+    the spatial (tube) axis of temporal attention over the mesh -- tubes
+    are independent, so GSPMD partitions with no cross-device collectives
+    and results match the replicated run (SURVEY.md section 5)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from open_genie_tpu.modules.attention import TemporalAttention
+
+    mesh = make_mesh()
+    mod = TemporalAttention(n_head=2, d_head=8, causal=True)
+    video = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 8, 8, 16))
+    params = mod.init(jax.random.PRNGKey(1), video)
+
+    ref = mod.apply(params, video)
+
+    shard = NamedSharding(mesh, P(None, None, "data", None, None))  # H axis
+    fn = jax.jit(
+        lambda p, v: mod.apply(p, v),
+        in_shardings=(None, shard),
+        out_shardings=shard,
+    )
+    out = fn(params, jax.device_put(video, shard))
+    assert len(out.addressable_shards) == 8
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
