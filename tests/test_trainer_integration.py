@@ -1,0 +1,98 @@
+"""Trainer-driver integration: the pretrained-tokenizer -> Genie workflow
+(`train tokenizer` -> checkpoint -> `train genie` with `tokenizer_ckpt`)."""
+import flax
+import jax
+import numpy as np
+import pytest
+
+from open_genie_tpu.train.config import (
+    DataConfig,
+    ExperimentConfig,
+    GenieModelConfig,
+    TokenizerModelConfig,
+    TrainerConfig,
+)
+from open_genie_tpu.train.trainer import train_genie, train_tokenizer
+
+TOK_ENC = (
+    ("spacetime_downsample", {
+        "in_channels": 3, "kernel_size": 3, "out_channels": 8,
+        "time_factor": 1, "space_factor": 4,
+    }),
+    ("causal-conv3d", {"in_channels": 8, "out_channels": 4, "kernel_size": 1}),
+)
+TOK_DEC = (
+    ("causal-conv3d", {"in_channels": 4, "out_channels": 8, "kernel_size": 3}),
+    ("depth2spacetime_upsample", {
+        "in_channels": 8, "out_channels": 3, "kernel_size": 3,
+        "time_factor": 1, "space_factor": 4,
+    }),
+)
+
+
+def _data_cfg():
+    return DataConfig(
+        source="synthetic", num_frames=4, batch_size=2,
+        height=16, width=16, num_videos=4, num_workers=1,
+    )
+
+
+def _trainer_cfg(tmp_path, name):
+    return TrainerConfig(
+        max_steps=1, precision="32", log_every_n_steps=1,
+        ckpt_dir=str(tmp_path / f"{name}_ckpt"),
+        ckpt_every_n_steps=1,
+        log_dir=str(tmp_path / f"{name}_logs"),
+        n_data=1,
+    )
+
+
+def test_pretrained_tokenizer_flows_into_genie(tmp_path):
+    # 1. Train the tokenizer one step -> checkpoint.
+    tok_cfg = ExperimentConfig(
+        model=TokenizerModelConfig(
+            enc_desc=TOK_ENC, dec_desc=TOK_DEC, d_codebook=4,
+            gan_loss_weight=0.0, perc_loss_weight=0.0,
+        ),
+        data=_data_cfg(),
+        trainer=_trainer_cfg(tmp_path, "tok"),
+    )
+    tok_state = train_tokenizer(tok_cfg)
+    tok_params = jax.device_get(tok_state.params["model"])
+
+    # 2. Train Genie one step with the pretrained (frozen) tokenizer.
+    genie_cfg = ExperimentConfig(
+        model=GenieModelConfig(
+            tokenizer=dict(enc_desc=TOK_ENC, dec_desc=TOK_DEC, d_codebook=4),
+            tokenizer_ckpt=tok_cfg.trainer.ckpt_dir,
+            latent_action=dict(
+                enc_desc=(
+                    ("space-time_attn", {"n_rep": 1, "n_embd": 8, "n_head": 1, "d_head": 8}),
+                ),
+                dec_desc=(
+                    ("space-time_attn", {
+                        "n_rep": 1, "n_embd": 8, "n_head": 1, "d_head": 8,
+                        "has_ext": True, "time_attn_kw": {"key_dim": 2},
+                    }),
+                ),
+                d_codebook=2, n_embd=8, inp_shape=(16, 16),
+            ),
+            dynamics=dict(
+                desc=(("space-time_attn", {"n_rep": 1, "n_embd": 16, "n_head": 2, "d_head": 8}),),
+                embed_dim=16,
+            ),
+        ),
+        data=_data_cfg(),
+        trainer=_trainer_cfg(tmp_path, "genie"),
+    )
+    genie_state = train_genie(genie_cfg)
+
+    # The genie's tokenizer params must equal the pretrained checkpoint
+    # (loaded, then frozen through the train step).
+    got = flax.traverse_util.flatten_dict(
+        jax.device_get(genie_state.params["model"]["tokenizer_"])
+    )
+    want = flax.traverse_util.flatten_dict(tok_params)
+    assert got.keys() == want.keys()
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
