@@ -40,10 +40,11 @@ def make_mesh(
     n = len(devices)
     if n_data is None:
         n_data = n // n_model
-    assert n_data * n_model == n, (
-        f"mesh {n_data}x{n_model} != {n} devices"
-    )
-    dev_array = np.asarray(devices).reshape(n_data, n_model)
+    want = n_data * n_model
+    assert want <= n, f"mesh {n_data}x{n_model} needs {want} devices, have {n}"
+    # A mesh smaller than the host's device count uses a leading subset
+    # (e.g. single-device configs on a multi-device host).
+    dev_array = np.asarray(devices[:want]).reshape(n_data, n_model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 

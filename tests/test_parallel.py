@@ -19,9 +19,13 @@ def test_mesh_shapes():
     assert mesh.shape == {"data": 4, "model": 2}
 
 
-def test_mesh_mismatch_raises():
+def test_mesh_subset_and_oversubscribe():
+    # Fewer devices than available: leading subset.
+    mesh = make_mesh(n_data=3, n_model=2)
+    assert mesh.shape == {"data": 3, "model": 2}
+    # More than available: error.
     with pytest.raises(AssertionError):
-        make_mesh(n_data=3, n_model=2)
+        make_mesh(n_data=5, n_model=2)
 
 
 def test_batch_sharding_places_shards():
