@@ -18,9 +18,30 @@ from open_genie_tpu.utils import Blueprint
 
 
 def _to_blueprint(raw) -> Blueprint:
-    """YAML list-of-[name, kwargs] -> canonical blueprint tuple."""
+    """YAML list-of-[name, kwargs] -> canonical blueprint tuple.
+
+    A bare string resolves a stock blueprint by name ('magvit2',
+    'repr_tok', 'latent_act_enc', ...), so configs can say
+    `enc_desc: magvit2`.
+    """
     if raw is None:
         return ()
+    if isinstance(raw, str):
+        from open_genie_tpu.models import blueprints as bp
+
+        named = {
+            "magvit2_enc": bp.MAGVIT2_ENC_DESC,
+            "magvit2_dec": bp.MAGVIT2_DEC_DESC,
+            "repr_tok_enc": bp.REPR_TOK_ENC,
+            "repr_tok_dec": bp.REPR_TOK_DEC,
+            "latent_act_enc": bp.LATENT_ACT_ENC,
+            "latent_act_dec": bp.LATENT_ACT_DEC,
+            "dynamics": bp.DYNAMICS_DESC,
+        }
+        key = raw.lower()
+        if key in named:
+            return named[key]
+        raise ValueError(f"Unknown named blueprint: {raw}")
     out = []
     for entry in raw:
         if isinstance(entry, str):

@@ -115,3 +115,14 @@ def test_repo_configs_load():
     assert c1.model.enc_desc
     c2 = load_config(os.path.join(root, "configs", "genie.yaml"), "genie")
     assert c2.model.dynamics["embed_dim"] == 512
+
+
+def test_named_blueprint_resolution(tmp_path):
+    p = tmp_path / "named.yaml"
+    p.write_text(
+        "model:\n  enc_desc: magvit2_enc\n  dec_desc: magvit2_dec\n"
+        "  d_codebook: 18\ndata: {}\ntrainer: {}\n"
+    )
+    cfg = load_config(str(p), kind="tokenizer")
+    assert cfg.model.enc_desc[0][0] == "causal-conv3d"
+    assert cfg.model.dec_desc[-1][1]["out_channels"] == 3
