@@ -15,7 +15,7 @@ section 4).
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -28,7 +28,6 @@ import numpy as np
 from jax import lax
 
 from open_genie_tpu.modules import parse_blueprint
-from open_genie_tpu.utils import default
 
 
 def get_schedule(steps: int, shape: Tuple[int, int], which: str = "linear") -> np.ndarray:

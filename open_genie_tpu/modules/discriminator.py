@@ -14,7 +14,6 @@ from math import prod
 from typing import Optional, Tuple, Union
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from open_genie_tpu.modules.attention import SpatialAttention
 from open_genie_tpu.modules.image import ImageResidualBlock

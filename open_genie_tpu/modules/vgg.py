@@ -15,7 +15,7 @@ random-feature perceptual metric, which is well-defined and commonly used).
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

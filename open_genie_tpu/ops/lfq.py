@@ -29,7 +29,7 @@ them as `sample_entropy - diversity_weight * avg_entropy`.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,6 @@ Genie).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax
@@ -19,15 +17,12 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from open_genie_tpu.parallel.mesh import (
     batch_sharding,
-    make_mesh,
     param_shardings,
     replicated,
 )
-from open_genie_tpu.train.losses import frozen_param_mask
 
 
 class TrainState(struct.PyTreeNode):

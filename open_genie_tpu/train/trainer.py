@@ -6,7 +6,6 @@ functions, invoked by `open_genie_tpu.cli`.
 """
 from __future__ import annotations
 
-import json
 import os
 import time
 from typing import Optional
