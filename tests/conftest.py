@@ -8,6 +8,10 @@ import os
 
 # Must run before jax is imported anywhere.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Some environments route XLA compilation through a remote service whose
+# target machine differs from this host; CPU test compiles must stay local
+# (a remote-compiled cache entry triggers cpu_aot machine-feature errors).
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
