@@ -96,3 +96,31 @@ def test_pretrained_tokenizer_flows_into_genie(tmp_path):
     assert got.keys() == want.keys()
     for k in want:
         np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_train_from_gvid_source(tmp_path):
+    """Trainer consumes the native .gvid container end-to-end."""
+    import numpy as np
+
+    pytest.importorskip("open_genie_tpu.data.native")
+    from open_genie_tpu.data.native import write_gvid
+
+    rng = np.random.default_rng(0)
+    videos = rng.integers(0, 256, (4, 6, 16, 16, 3), dtype=np.uint8)
+    gdir = tmp_path / "gvid"
+    gdir.mkdir()
+    write_gvid(str(gdir / "train.gvid"), videos)
+
+    cfg = ExperimentConfig(
+        model=TokenizerModelConfig(
+            enc_desc=TOK_ENC, dec_desc=TOK_DEC, d_codebook=4,
+            gan_loss_weight=0.0, perc_loss_weight=0.0,
+        ),
+        data=DataConfig(
+            source="gvid", root=str(gdir), num_frames=4, batch_size=2,
+            height=16, width=16, num_workers=1,
+        ),
+        trainer=_trainer_cfg(tmp_path, "gvid"),
+    )
+    state = train_tokenizer(cfg)
+    assert int(state.step) == 1
