@@ -31,8 +31,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# Swept on v5e at (8,4,4096,64) f32 fwd+bwd: (512,1024) 672ms,
+# (256,256) 730ms, (512,512) 756ms, (1024,512) 773ms; XLA attention
+# 1126ms (and O(N^2) residuals).
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 
 
