@@ -119,6 +119,11 @@ class Genie(nn.Module):
         if prompt.ndim == 4:
             prompt = prompt[:, None]
         _, idxs = self.tokenizer_.tokenize(prompt)
+        assert idxs.shape[1] >= 1, (
+            f"prompt of {prompt.shape[1]} frame(s) tokenizes to zero token "
+            "frames -- time-compressing tokenizers need prompts of at least "
+            "their temporal downsampling factor"
+        )
         return idxs
 
     def rollout_tokens(

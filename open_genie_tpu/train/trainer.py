@@ -310,6 +310,11 @@ def _run_loop(
     `genie/genie.py:155-174`).
     """
     logger = MetricLogger(tcfg.log_dir)
+    if len(loader) == 0:
+        raise ValueError(
+            "empty train loader: dataset smaller than batch_size "
+            f"({len(loader.dataset)} < {loader.batch_size})"
+        )
     max_steps = tcfg.max_steps or (tcfg.max_epochs * len(loader))
     step = start_step
     t0 = time.time()
