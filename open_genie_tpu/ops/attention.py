@@ -49,10 +49,17 @@ def dot_product_attention(
         scale = d ** -0.5
 
     if use_flash is None:
+        from open_genie_tpu.ops.pallas.flash_attention import (
+            DEFAULT_BLOCK_K,
+            DEFAULT_BLOCK_Q,
+        )
+
         use_flash = (
             mask is None
             and nq >= _FLASH_MIN_SEQ
             and nq == nk
+            and nq % DEFAULT_BLOCK_Q == 0
+            and nk % DEFAULT_BLOCK_K == 0
             and jax.default_backend() == "tpu"
         )
     if use_flash:
