@@ -104,3 +104,28 @@ def test_perceptual_loss_positive_on_different():
     params = perc.init(KEY, a, b, jax.random.PRNGKey(1))
     loss = perc.apply(params, a, b, jax.random.PRNGKey(2))
     assert float(loss) > 0
+
+
+def test_video_discriminator_causal_mode():
+    m = VideoDiscriminator(
+        inp_size=(T, H, W), model_dim=8, dim_mults=(1, 2), down_step=(None, 2),
+        use_causal=True,
+    )
+    x = jax.random.normal(KEY, (2, T, H, W, 3))
+    params = m.init(KEY, x)
+    assert m.apply(params, x).shape == (2,)
+
+
+def test_gan_video_mode():
+    """discriminate='video' judges whole clips (no frame sampling)."""
+    gan = GANLoss(
+        discriminate="video",
+        disc_kwargs=dict(
+            inp_size=(T, H, W), model_dim=8, dim_mults=(1, 2), down_step=(None, 2),
+        ),
+    )
+    rec = jax.random.uniform(KEY, (2, T, H, W, 3))
+    real = jax.random.uniform(jax.random.PRNGKey(1), (2, T, H, W, 3))
+    params = gan.init(KEY, rec, real, jax.random.PRNGKey(2), train_gen=False)
+    g, d = gan.apply(params, rec, real, jax.random.PRNGKey(3), method=gan.both)
+    assert np.isfinite(float(g)) and float(d) >= 0.0
