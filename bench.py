@@ -1,81 +1,109 @@
 """Benchmark harness: headline = MaskGIT rollout fps (action-conditioned,
-64x64), plus tokenizer tokenize+decode throughput.
+64x64), plus tokenizer tokenize+decode and full-train-step throughput.
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
 Baseline (BASELINE.md): >= 30 fps action-conditioned 64x64 rollout on one
-chip -- `vs_baseline` is rollout_fps / 30. Additional metrics are reported
-on separate lines prefixed with '#' so the driver's one-JSON-line contract
-holds.
+chip -- `vs_baseline` is rollout_fps / 30. Additional metrics go on lines
+prefixed with '#' so the driver's one-JSON-line contract holds.
+
+Driver-robustness (round-1 BENCH artifact was rc=124 with no JSON): the
+parent process NEVER imports jax. Every section runs in its own
+subprocess with a hard wall-clock bound; a section that hangs on the
+remote-TPU tunnel is killed and the harness moves on. A failed section is
+retried once (tunnel errors are transient). The parent tracks a global
+budget (env `BENCH_BUDGET_S`, default 1260 s) and always emits the JSON
+line before the driver's timeout, with whatever results it collected.
 
 Run on the real TPU chip: `python bench.py` (use `--quick` for a fast
-smoke run).
+smoke run). `python bench.py --section NAME` runs one section in-process.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+# ----------------------------------------------------------------------
+# Model configs (shared by sections).
+# Compact-but-real rollout config: 64x64 frames, 16x16 token grid (f4
+# spatial like the Genie paper's 64->16), 10-bit codebook, 6-block
+# 512-wide ST-transformer dynamics (the flagship decode path).
+# ----------------------------------------------------------------------
+
+
+def _genie_cfg():
+    from open_genie_tpu.models.blueprints import LATENT_ACT_DEC, LATENT_ACT_ENC
+
+    return dict(
+        tokenizer=dict(
+            enc_desc=(
+                ("spacetime_downsample", {
+                    "in_channels": 3, "kernel_size": 3, "out_channels": 128,
+                    "time_factor": 1, "space_factor": 4,
+                }),
+                ("space-time_attn", {"n_rep": 2, "n_embd": 128, "n_head": 8, "d_head": 16}),
+                ("causal-conv3d", {"in_channels": 128, "out_channels": 10, "kernel_size": 1}),
+            ),
+            dec_desc=(
+                ("causal-conv3d", {"in_channels": 10, "out_channels": 128, "kernel_size": 3}),
+                ("space-time_attn", {"n_rep": 2, "n_embd": 128, "n_head": 8, "d_head": 16}),
+                ("depth2spacetime_upsample", {
+                    "in_channels": 128, "kernel_size": 3, "out_channels": 3,
+                    "time_factor": 1, "space_factor": 4,
+                }),
+            ),
+            d_codebook=10,
+        ),
+        latent_action=dict(
+            enc_desc=LATENT_ACT_ENC,
+            dec_desc=LATENT_ACT_DEC,
+            d_codebook=8,
+            n_embd=256,
+            inp_shape=(64, 64),
+        ),
+        dynamics=dict(
+            desc=(("space-time_attn", {"n_rep": 6, "n_embd": 512, "n_head": 8, "d_head": 64}),),
+            embed_dim=512,
+        ),
+    )
 
 
 def _sync(x) -> float:
     """Hard host sync: on remote-tunneled devices `block_until_ready` can
     return before execution completes; a full host transfer cannot."""
+    import numpy as np
+
     return float(np.asarray(x).sum())
 
-from open_genie_tpu.models.blueprints import (
-    LATENT_ACT_DEC,
-    LATENT_ACT_ENC,
-    MAGVIT2_DEC_DESC,
-    MAGVIT2_ENC_DESC,
-)
-from open_genie_tpu.models.genie import Genie
-from open_genie_tpu.models.tokenizer import VideoTokenizer
 
-# Compact-but-real rollout config: 64x64 frames, 16x16 token grid (f4
-# spatial like the Genie paper's 64->16), 10-bit codebook, 6-block
-# 512-wide ST-transformer dynamics (the flagship decode path).
-GENIE_CFG = dict(
-    tokenizer=dict(
-        enc_desc=(
-            ("spacetime_downsample", {
-                "in_channels": 3, "kernel_size": 3, "out_channels": 128,
-                "time_factor": 1, "space_factor": 4,
-            }),
-            ("space-time_attn", {"n_rep": 2, "n_embd": 128, "n_head": 8, "d_head": 16}),
-            ("causal-conv3d", {"in_channels": 128, "out_channels": 10, "kernel_size": 1}),
-        ),
-        dec_desc=(
-            ("causal-conv3d", {"in_channels": 10, "out_channels": 128, "kernel_size": 3}),
-            ("space-time_attn", {"n_rep": 2, "n_embd": 128, "n_head": 8, "d_head": 16}),
-            ("depth2spacetime_upsample", {
-                "in_channels": 128, "kernel_size": 3, "out_channels": 3,
-                "time_factor": 1, "space_factor": 4,
-            }),
-        ),
-        d_codebook=10,
-    ),
-    latent_action=dict(
-        enc_desc=LATENT_ACT_ENC,
-        dec_desc=LATENT_ACT_DEC,
-        d_codebook=8,
-        n_embd=256,
-        inp_shape=(64, 64),
-    ),
-    dynamics=dict(
-        desc=(("space-time_attn", {"n_rep": 6, "n_embd": 512, "n_head": 8, "d_head": 64}),),
-        embed_dim=512,
-    ),
-)
+# ----------------------------------------------------------------------
+# Sections (run in child subprocesses; each prints `RESULT {json}`).
+# ----------------------------------------------------------------------
 
 
-def bench_rollout(num_frames: int, steps_per_frame: int, repeats: int):
-    model = Genie(**GENIE_CFG)
+def section_probe() -> dict:
+    """Fail-fast backend probe: one tiny matmul, hard-synced."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    x = jnp.ones((256, 256), jnp.bfloat16)
+    val = _sync(jax.jit(lambda a: a @ a)(x))
+    return {"ok": True, "platform": dev.platform, "check": val}
+
+
+def section_rollout(num_frames: int, steps_per_frame: int, repeats: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.models.genie import Genie
+
+    model = Genie(**_genie_cfg())
     key = jax.random.PRNGKey(0)
     prompt = jnp.zeros((1, 1, 64, 64, 3), jnp.bfloat16)
 
@@ -103,12 +131,17 @@ def bench_rollout(num_frames: int, steps_per_frame: int, repeats: int):
         t0 = time.perf_counter()
         _sync(rollout(params, prompt, actions, k))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
-    return num_frames / dt
+    return {"rollout_fps": num_frames / min(times), "spf": steps_per_frame}
 
 
-def bench_tokenizer(repeats: int):
+def section_tokenizer(repeats: int) -> dict:
     """MAGVIT2 tokenize+decode throughput, frames/sec @ 16x64x64 bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.models.blueprints import MAGVIT2_DEC_DESC, MAGVIT2_ENC_DESC
+    from open_genie_tpu.models.tokenizer import VideoTokenizer
+
     tok = VideoTokenizer(
         enc_desc=MAGVIT2_ENC_DESC, dec_desc=MAGVIT2_DEC_DESC, d_codebook=18
     )
@@ -128,12 +161,16 @@ def bench_tokenizer(repeats: int):
         t0 = time.perf_counter()
         _sync(roundtrip(params, video))
         times.append(time.perf_counter() - t0)
-    return 16 / min(times)
+    return {"tokenizer_roundtrip_fps": 16 / min(times)}
 
 
-def bench_tokenizer_train(repeats: int, batch: int = 4, frames: int = 8):
+def section_tokenizer_train(repeats: int, batch: int, frames: int) -> dict:
     """Full tokenizer train step (rec + GAN + perceptual + LFQ d=18),
     frames/sec of training throughput at 64x64."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.models.blueprints import MAGVIT2_DEC_DESC, MAGVIT2_ENC_DESC
     from open_genie_tpu.train.loop import (
         create_train_state, make_optimizer, make_train_step,
     )
@@ -167,37 +204,129 @@ def bench_tokenizer_train(repeats: int, batch: int = 4, frames: int = 8):
         state, metrics = step(state, sample)
         _sync(metrics["grad_norm"])
         times.append(time.perf_counter() - t0)
-    return batch * frames / min(times)
+    return {"tokenizer_train_fps": batch * frames / min(times)}
+
+
+SECTIONS = {
+    "probe": lambda a: section_probe(),
+    "rollout": lambda a: section_rollout(a.frames, a.steps_per_frame, a.repeats),
+    "tokenizer": lambda a: section_tokenizer(a.repeats),
+    "tokenizer_train": lambda a: section_tokenizer_train(
+        a.repeats, a.train_batch, a.train_frames
+    ),
+}
+
+
+# ----------------------------------------------------------------------
+# Parent orchestrator: no jax, hard bounds, always emits the JSON line.
+# ----------------------------------------------------------------------
+
+
+def _run_child(section: str, deadline: float, timeout: float, extra_args) -> dict | None:
+    budget = min(timeout, deadline - time.monotonic() - 20.0)
+    if budget < 45:
+        print(f"# {section} SKIPPED: global budget exhausted")
+        return None
+    cmd = [sys.executable, os.path.abspath(__file__), "--section", section, *extra_args]
+    t0 = time.monotonic()
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=budget,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# {section} TIMEOUT after {budget:.0f}s (killed)")
+        return None
+    dt = time.monotonic() - t0
+    result = None
+    for line in (proc.stdout or "").splitlines():
+        if line.startswith("RESULT "):
+            try:
+                result = json.loads(line[len("RESULT "):])
+            except json.JSONDecodeError:
+                pass
+        elif line.strip():
+            print(f"# [{section}] {line}")
+    if proc.returncode != 0 or result is None:
+        tail = ((proc.stderr or "").strip().splitlines() or ["<no stderr>"])[-3:]
+        for line in tail:
+            print(f"# [{section}!] {line[:300]}")
+        print(f"# {section} FAILED rc={proc.returncode} after {dt:.0f}s")
+        return None
+    print(f"# {section} ok in {dt:.0f}s: {json.dumps(result)}")
+    return result
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--frames", type=int, default=8)
-    ap.add_argument("--steps-per-frame", type=int, default=25)
+    ap.add_argument("--steps-per-frame", dest="steps_per_frame", type=int, default=25)
+    ap.add_argument("--repeats", type=int, default=None)
+    ap.add_argument("--train-batch", dest="train_batch", type=int, default=None)
+    ap.add_argument("--train-frames", dest="train_frames", type=int, default=None)
+    ap.add_argument("--section", default=None, help="run ONE section in-process")
     args = ap.parse_args()
 
-    repeats = 2 if args.quick else 5
-    frames = 2 if args.quick else args.frames
-    spf = 4 if args.quick else args.steps_per_frame
+    if args.repeats is None:
+        args.repeats = 2 if args.quick else 5
+    if args.quick:
+        args.frames = min(args.frames, 2)
+        args.steps_per_frame = min(args.steps_per_frame, 4)
+    if args.train_batch is None:
+        args.train_batch = 2 if args.quick else 4
+    if args.train_frames is None:
+        # remat (activation checkpointing) makes batch4/frames8 fit HBM; it
+        # runs at 74 frames/s vs 42 at batch2/frames4 (one v5e chip).
+        args.train_frames = 4 if args.quick else 8
 
-    def safe(name, fn, *a, **kw):
-        """One failing section must not cost the driver its JSON line."""
-        try:
-            return fn(*a, **kw)
-        except Exception as e:  # pragma: no cover
-            print(f"# {name} FAILED: {type(e).__name__}: {str(e)[:200]}")
-            return None
+    if args.section:
+        result = SECTIONS[args.section](args)
+        print("RESULT " + json.dumps(result))
+        return
 
-    rollout_fps = safe("rollout", bench_rollout, frames, spf, repeats)
-    tok_fps = safe("tokenizer", bench_tokenizer, repeats)
-    # remat (activation checkpointing) makes batch4/frames8 fit HBM; it
-    # runs at 74 frames/s vs 42 at batch2/frames4 (one v5e chip).
-    train_fps = safe(
-        "tokenizer_train", bench_tokenizer_train,
-        repeats, batch=2 if args.quick else 4, frames=4 if args.quick else 8,
-    )
+    total_budget = float(os.environ.get("BENCH_BUDGET_S", "1260"))
+    deadline = time.monotonic() + total_budget
+    passthru = []
+    if args.quick:
+        passthru.append("--quick")
+    passthru += [
+        "--frames", str(args.frames),
+        "--steps-per-frame", str(args.steps_per_frame),
+        "--repeats", str(args.repeats),
+        "--train-batch", str(args.train_batch),
+        "--train-frames", str(args.train_frames),
+    ]
 
+    # Fail-fast backend probe with retries: tunnel-backend init errors are
+    # transient; never let one poison the whole bench (fresh process each).
+    probe = None
+    for attempt in range(3):
+        probe = _run_child("probe", deadline, 300, [])
+        if probe:
+            break
+        if time.monotonic() < deadline - 120:
+            time.sleep(15 * (attempt + 1))
+    if not probe:
+        print("# backend probe failed after retries; emitting null metrics")
+
+    results: dict = {}
+    if probe:
+        for section, tmo in (
+            ("rollout", 480.0),
+            ("tokenizer", 360.0),
+            ("tokenizer_train", 480.0),
+        ):
+            r = _run_child(section, deadline, tmo, passthru)
+            if r is None and time.monotonic() < deadline - 180:
+                print(f"# retrying {section} once")
+                r = _run_child(section, deadline, tmo, passthru)
+            if r:
+                results.update(r)
+
+    rollout_fps = results.get("rollout_fps")
+    tok_fps = results.get("tokenizer_roundtrip_fps")
+    train_fps = results.get("tokenizer_train_fps")
     if tok_fps:
         print(f"# tokenizer tokenize+decode: {tok_fps:.2f} frames/sec @ 16x64x64 (MAGVIT2, d=18)")
     if train_fps:
@@ -205,11 +334,13 @@ def main():
     print(json.dumps({
         "metric": "rollout_fps",
         "value": round(rollout_fps, 3) if rollout_fps else None,
-        "unit": "frames/sec (64x64, action-conditioned, %d MaskGIT steps/frame)" % spf,
+        "unit": "frames/sec (64x64, action-conditioned, %d MaskGIT steps/frame)"
+                % args.steps_per_frame,
         "vs_baseline": round(rollout_fps / 30.0, 3) if rollout_fps else None,
         "extra": {
             "tokenizer_roundtrip_fps": round(tok_fps, 2) if tok_fps else None,
             "tokenizer_train_fps": round(train_fps, 2) if train_fps else None,
+            "platform": (probe or {}).get("platform"),
         },
     }))
 
