@@ -116,8 +116,14 @@ class GANLoss(nn.Module):
     ) -> jnp.ndarray:
         fake, real = self.examples(rec_video, inp_video, key)
         if train_gen:
-            fake_score = self.disc(fake, train=train)
-            return -fake_score.mean()
+            # Same theta_D-cancelling form as `both()`: the naive
+            # `-D(fake).mean()` also has nonzero gradient w.r.t. D's
+            # params, so under an all-params optimizer every "generator"
+            # step would push D to inflate fake scores (the runaway the
+            # `both` docstring describes). Value is still -mean(D(fake)).
+            d_fs = self.disc(jax.lax.stop_gradient(fake), train=train)
+            d_f = self.disc(fake, train=train)
+            return -(d_f - d_fs + jax.lax.stop_gradient(d_fs)).mean()
         fake_score = self.disc(jax.lax.stop_gradient(fake), train=train)
         real_score = self.disc(real, train=train)
         return (

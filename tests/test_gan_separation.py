@@ -58,6 +58,36 @@ def test_dis_loss_gradient_skips_generator_path(gan_and_inputs):
     np.testing.assert_allclose(np.asarray(grec), 0.0)
 
 
+def test_alternating_gen_branch_skips_disc_params(gan_and_inputs):
+    """`gan_alternate` mode calls `__call__(train_gen=True)` under an
+    all-params optimizer: its gradient w.r.t. D's params must be exactly
+    zero (same cancellation as `both()`), else every generator step pushes
+    D to inflate fake scores."""
+    gan, params, rec, real = gan_and_inputs
+
+    def gen_branch(params, rec):
+        return gan.apply({"params": params}, rec, real, jax.random.PRNGKey(3),
+                         train_gen=True)
+
+    gparams = jax.grad(gen_branch)(params, rec)
+    flat = flax.traverse_util.flatten_dict(gparams)
+    total = sum(float(jnp.abs(v).sum()) for v in flat.values())
+    assert total == pytest.approx(0.0, abs=1e-6)
+    grec = jax.grad(lambda rec: gen_branch(params, rec))(rec)
+    assert float(jnp.abs(grec).sum()) > 0
+
+
+def test_alternating_dis_branch_skips_generator_path(gan_and_inputs):
+    gan, params, rec, real = gan_and_inputs
+
+    def dis_branch(rec):
+        return gan.apply({"params": params}, rec, real, jax.random.PRNGKey(3),
+                         train_gen=False)
+
+    grec = jax.grad(dis_branch)(rec)
+    np.testing.assert_allclose(np.asarray(grec), 0.0)
+
+
 def test_both_values_match_separate_branches(gan_and_inputs):
     gan, params, rec, real = gan_and_inputs
     k = jax.random.PRNGKey(3)
