@@ -9,7 +9,6 @@ with the current step's compute.
 """
 from __future__ import annotations
 
-import queue
 import threading
 from typing import Iterator
 
@@ -58,24 +57,43 @@ class BatchLoader:
             yield order[i * self.batch_size : (i + 1) * self.batch_size]
 
     def __iter__(self) -> Iterator:
+        """Bounded in-order prefetch: at most `prefetch + num_workers`
+        decoded batches exist at any time (a worker claims an index only
+        when its slot is within the window), so host memory is bounded by
+        construction rather than by the epoch length. A condition variable
+        coordinates workers and the consumer -- no polling."""
         self._epoch += 1
-        batches = list(self._batch_indices())
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        idx_q: "queue.Queue" = queue.Queue()
-        for bi, b in enumerate(batches):
-            idx_q.put((bi, b))
-        results = {}
-        lock = threading.Lock()
+        pending = list(enumerate(self._batch_indices()))
+        pending.reverse()  # pop() from the front of the epoch
+        window = max(1, self.prefetch) + self.num_workers
+        results: dict = {}
+        cond = threading.Condition()
+        state = {"served": 0, "abort": False, "error": None}
 
         def worker():
-            while True:
-                try:
-                    bi, idxs = idx_q.get_nowait()
-                except queue.Empty:
-                    return
-                batch = np.stack([self.dataset[int(i)] for i in idxs])
-                with lock:
-                    results[bi] = batch
+            try:
+                while True:
+                    with cond:
+                        # Claim the next index only once it is inside the
+                        # prefetch window; blocks the *claim*, not the
+                        # decode, so decoded batches stay bounded.
+                        while (
+                            pending
+                            and pending[-1][0] >= state["served"] + window
+                            and not state["abort"]
+                        ):
+                            cond.wait()
+                        if state["abort"] or not pending:
+                            return
+                        bi, idxs = pending.pop()
+                    batch = np.stack([self.dataset[int(i)] for i in idxs])
+                    with cond:
+                        results[bi] = batch
+                        cond.notify_all()
+            except Exception as e:  # propagate decode errors to the consumer
+                with cond:
+                    state["error"] = e
+                    cond.notify_all()
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -84,22 +102,26 @@ class BatchLoader:
         for t in threads:
             t.start()
 
-        served = 0
-        while served < len(batches):
-            with lock:
-                ready = served in results
-            if ready:
-                with lock:
+        n_batches = len(self)
+        try:
+            for served in range(n_batches):
+                with cond:
+                    while served not in results and state["error"] is None:
+                        cond.wait()
+                    if state["error"] is not None:
+                        raise state["error"]
                     batch = results.pop(served)
+                    state["served"] = served + 1
+                    cond.notify_all()
                 if self.sharding is not None:
                     batch = jax.device_put(batch, self.sharding)
                 else:
                     batch = jax.device_put(batch)
                 yield batch
-                served += 1
-            else:
-                # Yield the GIL briefly; decode threads are working.
-                threading.Event().wait(0.002)
+        finally:
+            with cond:
+                state["abort"] = True
+                cond.notify_all()
 
 
 def device_prefetch(iterator, size: int = 2):

@@ -144,13 +144,16 @@ class NativeBatchLoader:
         num_threads: int = 2,
         prefetch: int = 2,
         seed: int = 0,
+        sharding=None,
     ) -> None:
         self.ds = dataset
+        self.dataset = dataset  # duck-type parity with BatchLoader
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.seed = seed
+        self.sharding = sharding
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -212,6 +215,10 @@ class NativeBatchLoader:
                     )
                     submitted += 1
                     inflight += 1
+                if self.sharding is not None:
+                    import jax
+
+                    out = jax.device_put(out, self.sharding)
                 yield out
         finally:
             lib.gvid_prefetch_stop(self.ds.handle)

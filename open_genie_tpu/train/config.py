@@ -98,6 +98,9 @@ class TokenizerModelConfig:
     perc_feat_layers: Tuple[str, ...] = (
         "features.6", "features.13", "features.18", "features.25",
     )
+    # Converted torchvision weights (tools/convert_vgg_weights.py output);
+    # None = random-feature perceptual metric (no egress for downloads).
+    perc_weights_npz: Optional[str] = None
     gan_discriminate: str = "frames"
     gan_frames_per_batch: int = 4
     gan_loss_weight: float = 1.0
@@ -214,6 +217,8 @@ class TrainerConfig:
     n_model: int = 1               # mesh model axis (tensor parallel)
     gan_alternate: bool = False    # alternating G/D steps vs reference's sum
     log_dir: str = "logs"
+    monitor: str = "val_loss"      # best-checkpoint metric (ModelCheckpoint)
+    save_last: bool = True         # always checkpoint the final step
     extra: Dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -226,6 +231,13 @@ class TrainerConfig:
         # Lightning compat mappings
         if "devices" in raw:
             raw.pop("devices")
+        # ModelCheckpoint callback (reference config/tokenize.yaml:82-86):
+        # monitor/save_last map onto the loop's best-val + final-save knobs.
+        for cb in raw.get("callbacks") or []:
+            if "ModelCheckpoint" in str(cb.get("class_path", "")):
+                args = cb.get("init_args") or {}
+                known.setdefault("monitor", args.get("monitor", "val_loss"))
+                known.setdefault("save_last", bool(args.get("save_last", True)))
         known.setdefault("extra", raw)
         if seed is not None:
             known["seed"] = seed

@@ -76,6 +76,39 @@ def build_dataset(cfg, split: str = "train") -> object:
     )
 
 
+def build_loader(cfg, dataset, mesh, tcfg, split: str = "train"):
+    """Batch loader for a dataset: the C++ prefetcher for .gvid sources
+    (`data/native.py`), threaded Python decode otherwise. Validation batch
+    sizes are rounded to a multiple of the mesh `data` axis so val batches
+    shard over the mesh exactly like train batches."""
+    from open_genie_tpu.data.native import GVidDataset, NativeBatchLoader
+    from open_genie_tpu.parallel.mesh import DATA_AXIS
+
+    train = split == "train"
+    n_data = mesh.shape[DATA_AXIS]
+    batch_size = cfg.data.batch_size
+    if not train:
+        batch_size = min(batch_size, len(dataset))
+        batch_size = max(n_data, batch_size - batch_size % n_data)
+    if isinstance(dataset, GVidDataset):
+        return NativeBatchLoader(
+            dataset,
+            batch_size=batch_size,
+            shuffle=train,
+            num_threads=cfg.data.num_workers,
+            seed=tcfg.seed,
+            sharding=batch_sharding(mesh),
+        )
+    return BatchLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=train,
+        num_workers=cfg.data.num_workers,
+        seed=tcfg.seed,
+        sharding=batch_sharding(mesh),
+    )
+
+
 def _make_val_fn(module, compute_dtype, loss_kwargs=None):
     """Jitted no-update eval step returning the loss metrics."""
     import functools
@@ -117,13 +150,7 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
 
     dataset = build_dataset(cfg.data)
     mesh = make_mesh(n_data=tcfg.n_data, n_model=tcfg.n_model)
-    loader = BatchLoader(
-        dataset,
-        batch_size=cfg.data.batch_size,
-        num_workers=cfg.data.num_workers,
-        seed=tcfg.seed,
-        sharding=batch_sharding(mesh),
-    )
+    loader = build_loader(cfg, dataset, mesh, tcfg)
 
     key = jax.random.PRNGKey(tcfg.seed)
     sample = jnp.zeros(
@@ -140,6 +167,27 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
             frozen_mask=None,
         ),
     )
+    # Pretrained perceptual weights: converted torchvision VGG16
+    # (reference loads `weights='DEFAULT'`, loss.py:39,46).
+    if mcfg.perc_loss_weight > 0 and getattr(mcfg, "perc_weights_npz", None):
+        import flax
+
+        from open_genie_tpu.modules.vgg import load_torch_vgg16_npz
+
+        vgg_vars = load_torch_vgg16_npz(mcfg.perc_weights_npz)
+        params = flax.core.unfreeze(state.params)
+        existing = params["perc_crit"]["vgg"]
+        # The trunk only instantiates convs up to the deepest tap; the
+        # converted file carries all 13 -- load the intersection.
+        loaded = {k: v for k, v in vgg_vars["params"].items() if k in existing}
+        assert loaded.keys() == existing.keys(), (
+            f"VGG weight file missing layers: {set(existing) - set(loaded)}"
+        )
+        params["perc_crit"]["vgg"] = jax.tree.map(
+            lambda old, new: jnp.asarray(new, old.dtype), existing, loaded
+        )
+        state = state.replace(params=params)
+
     # Freeze the VGG inside the perceptual loss.
     if mcfg.perc_loss_weight > 0:
         mask = frozen_param_mask(state.params, ("perc_crit",))
@@ -184,14 +232,9 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     val_loader = val_fn = None
     if tcfg.val_check_interval:
         val_ds = build_dataset(cfg.data, split="val")
-        val_loader = BatchLoader(
-            val_ds,
-            batch_size=min(cfg.data.batch_size, len(val_ds)),
-            num_workers=cfg.data.num_workers,
-            shuffle=False,
-            sharding=batch_sharding(mesh) if mesh.size == 1 else None,
-        )
+        val_loader = build_loader(cfg, val_ds, mesh, tcfg, split="val")
         val_fn = _make_val_fn(module, _compute_dtype(tcfg.precision))
+    save_config_snapshot(tcfg.ckpt_dir, cfg)
     return _run_loop(
         state, step_fn, loader, tcfg, start_step,
         val_fn=val_fn, val_loader=val_loader,
@@ -212,13 +255,7 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
 
     dataset = build_dataset(cfg.data)
     mesh = make_mesh(n_data=tcfg.n_data, n_model=tcfg.n_model)
-    loader = BatchLoader(
-        dataset,
-        batch_size=cfg.data.batch_size,
-        num_workers=cfg.data.num_workers,
-        seed=tcfg.seed,
-        sharding=batch_sharding(mesh),
-    )
+    loader = build_loader(cfg, dataset, mesh, tcfg)
 
     key = jax.random.PRNGKey(tcfg.seed)
     sample = jnp.zeros(
@@ -255,17 +292,12 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     val_loader = val_fn = eval_hook = None
     if tcfg.val_check_interval:
         val_ds = build_dataset(cfg.data, split="val")
-        val_loader = BatchLoader(
-            val_ds,
-            batch_size=min(cfg.data.batch_size, len(val_ds)),
-            num_workers=cfg.data.num_workers,
-            shuffle=False,
-            sharding=batch_sharding(mesh) if mesh.size == 1 else None,
-        )
+        val_loader = build_loader(cfg, val_ds, mesh, tcfg, split="val")
         val_fn = _make_val_fn(module, _compute_dtype(tcfg.precision))
         eval_hook = make_eval_video_hook(
             module, tcfg, size=cfg.data.height, num_frames=8
         )
+    save_config_snapshot(tcfg.ckpt_dir, cfg)
     return _run_loop(
         state, step_fn, loader, tcfg, start_step,
         val_fn=val_fn, val_loader=val_loader, eval_hook=eval_hook,
@@ -289,6 +321,35 @@ def _load_tokenizer_into_genie(state: TrainState, ckpt: str) -> TrainState:
         jnp.asarray, tok_params
     )
     return state.replace(params=params)
+
+
+def save_config_snapshot(ckpt_dir: str, cfg: ExperimentConfig) -> None:
+    """Write the resolved experiment config next to the checkpoints.
+
+    The reference embeds hyperparameters inside every Lightning checkpoint
+    (`save_hyperparameters`, `/root/reference/genie/tokenizer.py:305`); the
+    framework-neutral equivalent is a `config.yaml` in the orbax directory
+    so any checkpoint can be re-instantiated without the launch config.
+    """
+    import dataclasses
+
+    import yaml
+
+    def plain(o):
+        if dataclasses.is_dataclass(o) and not isinstance(o, type):
+            return {f.name: plain(getattr(o, f.name)) for f in dataclasses.fields(o)}
+        if isinstance(o, dict):
+            return {str(k): plain(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [plain(v) for v in o]
+        if isinstance(o, (str, int, float, bool)) or o is None:
+            return o
+        return repr(o)
+
+    path = os.path.abspath(ckpt_dir)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.yaml"), "w") as f:
+        yaml.safe_dump(plain(cfg), f, sort_keys=False)
 
 
 def _run_loop(
@@ -316,6 +377,11 @@ def _run_loop(
             f"({len(loader.dataset)} < {loader.batch_size})"
         )
     max_steps = tcfg.max_steps or (tcfg.max_epochs * len(loader))
+    # Best-checkpoint tracking: ModelCheckpoint(monitor=...) equivalent.
+    # Monitor 'val_loss' means the 'loss' key of the validation metrics.
+    monitor = getattr(tcfg, "monitor", "val_loss") or "val_loss"
+    monitor_key = monitor[4:] if monitor.startswith("val_") else monitor
+    best_val = float("inf")
     step = start_step
     t0 = time.time()
     done = False
@@ -339,10 +405,18 @@ def _run_loop(
                     state, val_fn, val_loader, tcfg.limit_val_batches
                 )
                 logger.log(step, {f"val_{k}": v for k, v in vm.items()})
+                if monitor_key in vm and vm[monitor_key] < best_val:
+                    best_val = vm[monitor_key]
+                    save_checkpoint(
+                        os.path.join(tcfg.ckpt_dir, "best"),
+                        jax.device_get(state), step,
+                    )
                 if eval_hook is not None:
                     eval_hook(state, step)
                 t0 = time.time()
-            if step % tcfg.ckpt_every_n_steps == 0 or step >= max_steps:
+            if step % tcfg.ckpt_every_n_steps == 0 or (
+                step >= max_steps and getattr(tcfg, "save_last", True)
+            ):
                 save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step)
             if step >= max_steps:
                 done = True

@@ -185,6 +185,47 @@ def test_batch_loader_shapes():
     assert arr.min() >= 0.0 and arr.max() <= 1.0
 
 
+def test_batch_loader_prefetch_is_bounded():
+    """Workers must not decode the whole epoch ahead of the consumer: with
+    the consumer stalled after one batch, at most `prefetch + num_workers`
+    batches past the served point may ever be claimed for decode."""
+    import time
+
+    class CountingDataset(SyntheticVideo):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.decoded = 0
+
+        def __getitem__(self, idx):
+            self.decoded += 1
+            return super().__getitem__(idx)
+
+    ds = CountingDataset(num_videos=64, num_frames=2, height=8, width=8)
+    loader = BatchLoader(ds, batch_size=2, num_workers=2, prefetch=2,
+                         shuffle=False)
+    it = iter(loader)
+    next(it)  # serve one batch, then stall
+    time.sleep(0.3)  # give workers every chance to overrun the bound
+    # window = prefetch + num_workers = 4 batches beyond the served point;
+    # +1 for the batch already served = 5 batches = 10 items max.
+    assert ds.decoded <= 10, (
+        f"decoded {ds.decoded} items with consumer stalled -- prefetch "
+        "bound not enforced"
+    )
+    it.close()
+
+
+def test_batch_loader_propagates_worker_errors():
+    class BrokenDataset(SyntheticVideo):
+        def __getitem__(self, idx):
+            raise RuntimeError("decode exploded")
+
+    ds = BrokenDataset(num_videos=8, num_frames=2, height=8, width=8)
+    loader = BatchLoader(ds, batch_size=2, num_workers=2)
+    with np.testing.assert_raises(RuntimeError):
+        list(loader)
+
+
 def test_synthetic_video_deterministic():
     ds = SyntheticVideo(num_videos=2, num_frames=3, height=8, width=8, seed=7)
     np.testing.assert_array_equal(ds[0], ds[0])
