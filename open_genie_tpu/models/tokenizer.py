@@ -113,10 +113,60 @@ class VideoTokenizer(nn.Module):
     def quantize(self, enc_video, beta: float = 100.0, training: bool = False):
         return self.quant(enc_video, beta=beta, training=training)
 
-    def tokenize(self, video, beta: float = 100.0):
+    def head_fusable(self) -> bool:
+        """Static check for the fused tokenize head: the encoder must end
+        in a pure 1x1x1 stride-1 `causal-conv3d` (a matmul -- causality is
+        trivial at kernel 1) projecting straight to the codebook width with
+        no LFQ input projection. Then the final conv + LFQ sign/index fuse
+        into one Pallas VMEM pass (SURVEY.md section 7 kernel priority #1;
+        reference path `tokenizer.py:79-84` + `quantization.py:97-98`).
+        """
+        if self.n_codebook != 1 or not self.enc_desc:
+            return False
+        last = self.enc_desc[-1]
+        if isinstance(last, str):
+            return False
+        name, kw = last
+        if name != "causal-conv3d" or int(kw.get("n_rep", 1)) != 1:
+            return False
+        ks = kw.get("kernel_size", 3)
+        ks = (ks,) * 3 if isinstance(ks, int) else tuple(ks)
+        st = kw.get("stride", 1)
+        st = (st,) * 3 if isinstance(st, int) else tuple(st)
+        if ks != (1, 1, 1) or st != (1, 1, 1):
+            return False
+        return kw.get("out_channels") == self.d_codebook
+
+    def tokenize(self, video, beta: float = 100.0, fused: Optional[bool] = None):
         """Video -> (quantized latents, integer token grid). Eval mode, no
         loss; callers that must not backprop wrap in `lax.stop_gradient`
-        (`tokenizer.py:332-350` uses `no_grad`)."""
+        (`tokenizer.py:332-350` uses `no_grad`).
+
+        `fused=None` auto-dispatches the final 1x1 conv + LFQ sign/index
+        through the fused Pallas head on TPU when the blueprint allows it
+        (`head_fusable`); `fused=False` forces the reference-shaped unfused
+        path (CPU / parity baseline).
+        """
+        import jax
+
+        if fused is None:
+            fused = jax.default_backend() == "tpu" and self.head_fusable()
+        if fused:
+            assert self.head_fusable(), (
+                "fused tokenize requires a 1x1x1 causal-conv3d encoder head "
+                "projecting to d_codebook with n_codebook == 1"
+            )
+            from open_genie_tpu.ops.pallas.lfq_head import lfq_head
+
+            x = video
+            for layer, has_ext in zip(self.enc_layers[:-1], self.enc_ext[:-1]):
+                x = layer(x, None, None, False)
+            head = self.enc_layers[-1].variables["params"]["conv3d"]
+            w = head["kernel"].reshape(head["kernel"].shape[-2:])
+            b = head.get("bias")
+            if b is None:
+                b = jnp.zeros((w.shape[-1],), w.dtype)
+            return lfq_head(x, w, b)
         enc = self.encode(video, train=False)
         (quant, idxs), _, _ = self.quant(enc, beta=beta, training=False)
         return quant, idxs

@@ -103,6 +103,40 @@ def test_decode_tokens_matches_decode_quant(tok_and_params):
     np.testing.assert_allclose(rec_q, rec_i, rtol=1e-5, atol=1e-6)
 
 
+def test_fused_head_tokenize_matches_unfused(tok_and_params):
+    """The Pallas fused conv+LFQ head must reproduce the unfused
+    encode->quantize path exactly (codes AND indices). Runs the kernel in
+    interpret mode on CPU; the TPU path is the same kernel."""
+    tok, params = tok_and_params
+    assert tok.head_fusable()
+    video = jax.random.uniform(KEY, (B, T, H, W, 3))
+    q0, i0 = tok.apply(params, video, method=tok.tokenize, fused=False)
+    q1, i1 = tok.apply(params, video, method=tok.tokenize, fused=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(q0), np.asarray(q1), atol=1e-6)
+
+
+def test_head_fusable_is_conservative():
+    """Blueprints whose head is not a pure 1x1 projection must refuse the
+    fused path (kernel-3 head; projection mismatch)."""
+    tok3 = VideoTokenizer(
+        enc_desc=(
+            ("causal-conv3d", {"in_channels": 3, "out_channels": D, "kernel_size": 3}),
+        ),
+        dec_desc=(("causal-conv3d", {"in_channels": D, "out_channels": 3}),),
+        d_codebook=D,
+    )
+    assert not tok3.head_fusable()
+    tok_proj = VideoTokenizer(
+        enc_desc=(
+            ("causal-conv3d", {"in_channels": 3, "out_channels": 24, "kernel_size": 1}),
+        ),
+        dec_desc=(("causal-conv3d", {"in_channels": 24, "out_channels": 3}),),
+        d_codebook=D,  # 24 != 18 -> LFQ projects -> not fusable
+    )
+    assert not tok_proj.head_fusable()
+
+
 def test_forward_train_has_quant_loss(tok_and_params):
     tok, params = tok_and_params
     video = jax.random.uniform(KEY, (B, T, H, W, 3))
