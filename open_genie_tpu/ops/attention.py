@@ -19,7 +19,9 @@ import jax.numpy as jnp
 # stores the (N, N) probability matrix as a residual (8.6 GB for the
 # latent-action model's 4096-token spatial attention -> HBM OOM); the flash
 # kernel's residuals are O(N), so it wins where training memory matters.
-_FLASH_MIN_SEQ = 2048
+# 1024 covers the stock 64x64-at-f8 spatial grid; non-block-multiple
+# lengths are handled by the kernel's pad+key-mask path.
+_FLASH_MIN_SEQ = 1024
 
 
 def dot_product_attention(
@@ -49,17 +51,10 @@ def dot_product_attention(
         scale = d ** -0.5
 
     if use_flash is None:
-        from open_genie_tpu.ops.pallas.flash_attention import (
-            DEFAULT_BLOCK_K,
-            DEFAULT_BLOCK_Q,
-        )
-
         use_flash = (
             mask is None
             and nq >= _FLASH_MIN_SEQ
             and nq == nk
-            and nq % DEFAULT_BLOCK_Q == 0
-            and nk % DEFAULT_BLOCK_K == 0
             and jax.default_backend() == "tpu"
         )
     if use_flash:

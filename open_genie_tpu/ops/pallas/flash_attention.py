@@ -47,6 +47,7 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref,
     acc_ref, m_ref, l_ref,
     *, scale: float, causal: bool, block_q: int, block_k: int,
+    kv_len: int = 0,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -73,14 +74,19 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         ) * scale
 
-        if causal:
-            rows = qi * block_q + lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
+        if causal or kv_len:
             cols = kj * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
-            s = jnp.where(cols <= rows, s, _NEG_INF)
+            keep = jnp.full((block_q, block_k), True)
+            if causal:
+                rows = qi * block_q + lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                )
+                keep &= cols <= rows
+            if kv_len:  # padded keys past kv_len must not enter the softmax
+                keep &= cols < kv_len
+            s = jnp.where(keep, s, _NEG_INF)
 
         m_prev = m_ref[:, :1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -105,7 +111,7 @@ def _fwd_kernel(
 
 
 def _flash_forward(
-    q, k, v, scale, causal, block_q, block_k, interpret
+    q, k, v, scale, causal, block_q, block_k, interpret, kv_len=0
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     bh, nq, d = q.shape
     nk = k.shape[1]
@@ -118,7 +124,7 @@ def _flash_forward(
     grid = (bh, nq // block_q, nk // block_k)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k,
+        block_q=block_q, block_k=block_k, kv_len=kv_len,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -157,6 +163,7 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale: float, causal: bool, block_q: int, block_k: int,
+    kv_len: int = 0,
 ):
     kj = pl.program_id(1)
     qi = pl.program_id(2)
@@ -185,14 +192,19 @@ def _bwd_dkv_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale                            # (bq, bk)
-        if causal:
-            rows = qi * block_q + lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
+        if causal or kv_len:
             cols = kj * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
-            s = jnp.where(cols <= rows, s, _NEG_INF)
+            keep = jnp.full((block_q, block_k), True)
+            if causal:
+                rows = qi * block_q + lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                )
+                keep &= cols <= rows
+            if kv_len:
+                keep &= cols < kv_len
+            s = jnp.where(keep, s, _NEG_INF)
 
         p = jnp.exp(s - lse)                 # (bq, bk)
         # dv_j += p^T dout
@@ -222,6 +234,7 @@ def _bwd_dq_kernel(
     dq_ref,
     dq_acc,
     *, scale: float, causal: bool, block_q: int, block_k: int,
+    kv_len: int = 0,
 ):
     qi = pl.program_id(1)
     kj = pl.program_id(2)
@@ -248,14 +261,19 @@ def _bwd_dq_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        if causal:
-            rows = qi * block_q + lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
+        if causal or kv_len:
             cols = kj * block_k + lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
             )
-            s = jnp.where(cols <= rows, s, _NEG_INF)
+            keep = jnp.full((block_q, block_k), True)
+            if causal:
+                rows = qi * block_q + lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                )
+                keep &= cols <= rows
+            if kv_len:
+                keep &= cols < kv_len
+            s = jnp.where(keep, s, _NEG_INF)
 
         p = jnp.exp(s - lse)
         dp = lax.dot_general(
@@ -274,7 +292,7 @@ def _bwd_dq_kernel(
 
 
 def _flash_backward(q, k, v, out, lse, do, scale, causal, block_q, block_k,
-                    interpret):
+                    interpret, kv_len=0):
     bh, nq, d = q.shape
     nk = k.shape[1]
     block_q = min(block_q, nq)
@@ -306,7 +324,7 @@ def _flash_backward(q, k, v, out, lse, do, scale, causal, block_q, block_k,
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k,
+            block_q=block_q, block_k=block_k, kv_len=kv_len,
         ),
         grid=(bh, nk // block_k, nq // block_q),
         in_specs=kv_specs,
@@ -337,7 +355,7 @@ def _flash_backward(q, k, v, out, lse, do, scale, causal, block_q, block_k,
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k,
+            block_q=block_q, block_k=block_k, kv_len=kv_len,
         ),
         grid=(bh, nq // block_q, nk // block_k),
         in_specs=q_specs,
@@ -354,31 +372,35 @@ def _flash_backward(q, k, v, out, lse, do, scale, causal, block_q, block_k,
 # custom-vjp wrapper
 # --------------------------------------------------------------------- #
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, scale, causal, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash(q, k, v, scale, causal, interpret, block_q, block_k, kv_len):
     out, _ = _flash_forward(
-        q, k, v, scale, causal, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, interpret
+        q, k, v, scale, causal, block_q, block_k, interpret, kv_len
     )
     return out
 
 
-def _flash_fwd(q, k, v, scale, causal, interpret):
+def _flash_fwd(q, k, v, scale, causal, interpret, block_q, block_k, kv_len):
     out, lse = _flash_forward(
-        q, k, v, scale, causal, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, interpret
+        q, k, v, scale, causal, block_q, block_k, interpret, kv_len
     )
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(scale, causal, interpret, res, g):
+def _flash_bwd(scale, causal, interpret, block_q, block_k, kv_len, res, g):
     q, k, v, out, lse = res
     dq, dk, dv = _flash_backward(
         q, k, v, out, lse, g, scale, causal,
-        DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K, interpret,
+        block_q, block_k, interpret, kv_len,
     )
     return dq, dk, dv
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def flash_attention(
@@ -388,18 +410,42 @@ def flash_attention(
     scale: Optional[float] = None,
     causal: bool = False,
     interpret: Optional[bool] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
     """Flash attention over `(B, H, N, D)` tensors (self-attention shapes).
 
     O(N) residual memory in training (q, k, v, out, lse); probability tiles
     are recomputed blockwise in both kernels.
+
+    Arbitrary sequence lengths are supported: q/k/v are zero-padded up to
+    the block grid and padded *keys* are masked out of the softmax inside
+    the kernels (`kv_len`); padded query rows are sliced off (their
+    cotangents arrive as zeros, so gradients stay exact). Block sizes
+    shrink to fit short sequences.
     """
     b, h, n, d = q.shape
+    nk = k.shape[2]
     if scale is None:
         scale = d ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # Shrink blocks toward short sequences (128-lane granularity), then pad
+    # the sequence up to the block grid.
+    bq = min(block_q, _round_up(n, 128))
+    bk = min(block_k, _round_up(nk, 128))
+    n_pad = _round_up(n, bq)
+    nk_pad = _round_up(nk, bk)
+    kv_len = nk if nk_pad != nk else 0  # 0 = no key masking needed
+
     fold = lambda t: t.reshape(b * h, t.shape[2], d)
-    out = _flash(fold(q), fold(k), fold(v), float(scale), causal, interpret)
-    return out.reshape(b, h, n, d)
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    if n_pad != n:
+        qf = jnp.pad(qf, ((0, 0), (0, n_pad - n), (0, 0)))
+    if nk_pad != nk:
+        kf = jnp.pad(kf, ((0, 0), (0, nk_pad - nk), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, nk_pad - nk), (0, 0)))
+
+    out = _flash(qf, kf, vf, float(scale), causal, interpret, bq, bk, kv_len)
+    return out[:, :n].reshape(b, h, n, d)
