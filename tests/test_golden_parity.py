@@ -1,0 +1,164 @@
+"""Golden numeric parity vs the REFERENCE implementation.
+
+`tests/fixtures/golden_reference.npz` was produced by RUNNING the
+reference PyTorch code (`tools/gen_golden_fixtures.py`); these tests pin
+this framework's deterministic numeric contracts against those recorded
+outputs WITHOUT a torch dependency (SURVEY.md §4 "numeric parity vs CPU
+reference outputs"; BASELINE.md fp-tolerance parity row):
+
+  * CausalConv3d left-pad outputs over kernel/stride/dilation cases
+  * LFQ codes / indices / entropy / commitment terms
+  * MaskGIT schedules (linear / cosine / arccos)
+  * Hinge GAN loss values
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures", "golden_reference.npz")
+fixtures = np.load(FIX)
+
+CONV_CASES = {
+    "k3": dict(kernel_size=3),
+    "k3_s2": dict(kernel_size=3, stride=2),
+    "k3_d2": dict(kernel_size=3, dilation=2),
+    "k1": dict(kernel_size=1),
+    "k311": dict(kernel_size=(3, 1, 1)),
+    "k3_st211": dict(kernel_size=3, stride=(2, 1, 1)),
+}
+
+
+@pytest.mark.parametrize("case", sorted(CONV_CASES))
+def test_causal_conv3d_matches_reference(case):
+    """Exact left-pad formula parity (`reference video.py:150-164`):
+    torch weights `(O, I, kt, kh, kw)` map to flax `(kt, kh, kw, I, O)`;
+    channels-first in/out map to channels-last."""
+    from open_genie_tpu.modules.video import CausalConv3d
+
+    x = jnp.asarray(fixtures["conv/input"].transpose(0, 2, 3, 4, 1))
+    w = fixtures[f"conv/{case}/weight"].transpose(2, 3, 4, 1, 0)
+    b = fixtures[f"conv/{case}/bias"]
+    want = fixtures[f"conv/{case}/out"].transpose(0, 2, 3, 4, 1)
+
+    layer = CausalConv3d(in_channels=2, out_channels=3, **CONV_CASES[case])
+    params = {"conv3d": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}}
+    got = layer.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_lfq_codes_and_indices_match_reference():
+    from open_genie_tpu.ops.lfq import lfq_quantize
+
+    x = jnp.asarray(fixtures["lfq/input"])
+    code, idxs = lfq_quantize(x, 6, training=False)
+    np.testing.assert_array_equal(np.asarray(code), fixtures["lfq/codes"])
+    np.testing.assert_array_equal(
+        np.asarray(idxs), fixtures["lfq/idxs"].astype(np.int32)
+    )
+
+
+def test_lfq_entropy_terms_match_reference():
+    """Closed-form O(d) sample entropy == the reference's explicit
+    (N, 2^d)-softmax entropy; ditto the batch-averaged entropy and the
+    commitment MSE (`reference quantization.py:115-131`)."""
+    from open_genie_tpu.ops.lfq import lfq_avg_entropy, lfq_sample_entropy
+
+    x = jnp.asarray(fixtures["lfq/input"])
+    beta = float(fixtures["lfq/beta"])
+    sample = float(lfq_sample_entropy(x, beta=beta))
+    avg = float(lfq_avg_entropy(x.reshape(-1, 6), beta=beta))
+    np.testing.assert_allclose(sample, float(fixtures["lfq/sample_entropy"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(avg, float(fixtures["lfq/avg_entropy"]),
+                               rtol=1e-4)
+
+    commit = float(jnp.mean((x - jnp.sign(x)) ** 2))
+    np.testing.assert_allclose(commit, float(fixtures["lfq/commit_loss"]),
+                               rtol=1e-5)
+    # The reference's summed objective (entropy*(0.1) + commit*0.25, with
+    # diversity ADDED -- its §2.11 defect; reproduced here arithmetically
+    # to pin the recorded value, not adopted by the training loss).
+    total = (sample + 1.0 * avg) * 0.1 + commit * 0.25
+    np.testing.assert_allclose(total, float(fixtures["lfq/total_loss"]),
+                               rtol=1e-4)
+
+
+@pytest.mark.parametrize("which", ["linear", "cosine", "arccos"])
+@pytest.mark.parametrize("steps", [8, 16, 25])
+def test_maskgit_schedule_matches_reference(which, steps):
+    from open_genie_tpu.models.dynamics import get_schedule
+
+    got = get_schedule(steps, (16, 16), which=which)
+    want = fixtures[f"schedule/{which}/{steps}"]
+    np.testing.assert_array_equal(np.asarray(got, np.int64), want)
+    assert got.sum() == 16 * 16
+
+
+# Mirrors tools/gen_golden_fixtures.py::vgg_random_state_dict (same seed,
+# same construction) -- the fixture ships activations only, the weights are
+# deterministically re-derivable on both sides.
+VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+             512, 512, 512, "M", 512, 512, 512, "M"]
+
+
+def _vgg_random_state_dict(seed: int) -> dict:
+    vrng = np.random.default_rng(seed)
+    state = {}
+    idx, c_in = 0, 3
+    for entry in VGG16_CFG:
+        if entry == "M":
+            idx += 1
+            continue
+        fan = 9 * c_in
+        state[f"features.{idx}.weight"] = (
+            vrng.standard_normal((entry, c_in, 3, 3)) / np.sqrt(fan)
+        ).astype(np.float32)
+        state[f"features.{idx}.bias"] = (
+            vrng.standard_normal(entry) * 0.01
+        ).astype(np.float32)
+        c_in = entry
+        idx += 2
+    return state
+
+
+def test_vgg16_trunk_matches_torch_semantics(tmp_path):
+    """The Flax VGG16 trunk + the torchvision-layout weight loader must
+    reproduce torch Conv2d/ReLU/MaxPool2d golden activations at every
+    reference tap (`reference loss.py:46,67-74`): verifies layer indexing,
+    3x3 pad-1 conv semantics, pool placement, and the OIHW->HWIO converter
+    mapping end-to-end. (Pretrained VALUES are unobtainable offline; this
+    pins everything except the downloaded numbers themselves.)"""
+    from open_genie_tpu.modules.vgg import VGG16Features, load_torch_vgg16_npz
+
+    state = _vgg_random_state_dict(int(fixtures["vgg/seed"]))
+    npz_path = tmp_path / "vgg16.npz"
+    np.savez(npz_path, **state)  # exactly convert_vgg_weights.py's output
+    variables = load_torch_vgg16_npz(str(npz_path))
+
+    taps = ("features.6", "features.13", "features.18", "features.25")
+    model = VGG16Features(feat_layers=taps)
+    x = jnp.asarray(fixtures["vgg/input"].transpose(0, 2, 3, 1))
+    got = model.apply(variables, x)
+    for tap in taps:
+        idx = tap.split(".")[1]
+        want = fixtures[f"vgg/tap/{idx}"].transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(
+            np.asarray(got[tap]), want, rtol=1e-4, atol=1e-5
+        )
+
+
+def test_hinge_loss_values_match_reference():
+    """Generator/discriminator hinge values (`reference loss.py:161-162`).
+    The framework's theta_D-cancelling generator form is value-identical to
+    `-E[D(fake)]`; both branches are checked on recorded scores."""
+    fake = jnp.asarray(fixtures["hinge/fake_scores"])
+    real = jnp.asarray(fixtures["hinge/real_scores"])
+    gen = -(fake - fake + jax.lax.stop_gradient(fake)).mean()  # cancelled form
+    dis = (jax.nn.relu(1 + fake) + jax.nn.relu(1 - real)).mean()
+    np.testing.assert_allclose(float(gen), float(fixtures["hinge/gen_loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(dis), float(fixtures["hinge/dis_loss"]),
+                               rtol=1e-6)
