@@ -30,6 +30,57 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize the JAX distributed runtime for multi-host / multi-slice.
+
+    SURVEY.md section 2.9's multi-slice row: on a TPU pod each host calls
+    this before any jax op; afterwards `jax.devices()` is GLOBAL (all
+    hosts' chips) and `make_mesh` + GSPMD shardings span slices with XLA
+    routing collectives over ICI/DCN. Explicit args cover CPU/test runs;
+    on Cloud TPU all three are auto-detected when omitted.
+
+    Falls back silently to single-process when nothing is configured
+    (args or `OGT_COORDINATOR` / `OGT_NUM_PROCESSES` / `OGT_PROCESS_ID`
+    env vars), so single-host flows never pay the coordinator handshake.
+    Returns True iff the distributed runtime was initialized.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("OGT_COORDINATOR")
+    if num_processes is None and os.environ.get("OGT_NUM_PROCESSES"):
+        num_processes = int(os.environ["OGT_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("OGT_PROCESS_ID"):
+        process_id = int(os.environ["OGT_PROCESS_ID"])
+    if coordinator_address is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def global_batch(batch, mesh: Mesh):
+    """Assemble a GLOBAL batch-sharded array from per-process local data.
+
+    Single-process: a plain sharded `device_put`. Multi-process (after
+    `init_distributed`): each host passes its LOCAL shard of the batch
+    (loaders feed disjoint data per host) and the result is one global
+    jax.Array of leading dim `local_batch * num_processes`, sharded over
+    the `data` axis -- the multi-host equivalent of the reference's DDP
+    per-rank DataLoader split (`config/tokenize.yaml:77`).
+    """
+    sharding = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, batch)
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

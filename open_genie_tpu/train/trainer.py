@@ -16,7 +16,11 @@ import numpy as np
 
 from open_genie_tpu.data.loader import BatchLoader
 from open_genie_tpu.data.video import Platformer2D, SyntheticVideo
-from open_genie_tpu.parallel.mesh import batch_sharding, make_mesh
+from open_genie_tpu.parallel.mesh import (
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+)
 from open_genie_tpu.train.config import (
     ExperimentConfig,
     GenieModelConfig,
@@ -135,6 +139,7 @@ def _compute_dtype(precision: str):
 def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     mcfg: TokenizerModelConfig = cfg.model
     tcfg = cfg.trainer
+    init_distributed()  # multi-host: env-driven, no-op single-process
 
     module = TokenizerTrainModule(
         tokenizer=mcfg.tokenizer_kwargs(),
@@ -244,6 +249,7 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
 def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     mcfg: GenieModelConfig = cfg.model
     tcfg = cfg.trainer
+    init_distributed()  # multi-host: env-driven, no-op single-process
 
     module = GenieTrainModule(
         genie=dict(
