@@ -147,10 +147,10 @@ class VideoTokenizer(nn.Module):
         (`head_fusable`); `fused=False` forces the reference-shaped unfused
         path (CPU / parity baseline).
         """
-        import jax
+        from open_genie_tpu.utils import is_tpu_backend
 
         if fused is None:
-            fused = jax.default_backend() == "tpu" and self.head_fusable()
+            fused = is_tpu_backend() and self.head_fusable()
         if fused:
             assert self.head_fusable(), (
                 "fused tokenize requires a 1x1x1 causal-conv3d encoder head "

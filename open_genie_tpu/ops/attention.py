@@ -51,11 +51,13 @@ def dot_product_attention(
         scale = d ** -0.5
 
     if use_flash is None:
+        from open_genie_tpu.utils import is_tpu_backend
+
         use_flash = (
             mask is None
             and nq >= _FLASH_MIN_SEQ
             and nq == nk
-            and jax.default_backend() == "tpu"
+            and is_tpu_backend()
         )
     if use_flash:
         from open_genie_tpu.ops.pallas.flash_attention import flash_attention

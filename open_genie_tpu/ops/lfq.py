@@ -119,7 +119,9 @@ def lfq_avg_entropy(
     if num_codes <= _DIRECT_MAX_CODES:
         q = lfq_avg_probs_direct(x, beta)
         return -jnp.sum(q * jnp.log(jnp.maximum(q, eps)))
-    if jax.default_backend() == "tpu":
+    from open_genie_tpu.utils import is_tpu_backend
+
+    if is_tpu_backend():
         from open_genie_tpu.ops.pallas.lfq_entropy import lfq_avg_entropy_pallas
 
         return lfq_avg_entropy_pallas(x, beta, eps)

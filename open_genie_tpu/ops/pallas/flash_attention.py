@@ -429,7 +429,9 @@ def flash_attention(
     if scale is None:
         scale = d ** -0.5
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from open_genie_tpu.utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
 
     # Shrink blocks toward short sequences (128-lane granularity), then pad
     # the sequence up to the block grid.

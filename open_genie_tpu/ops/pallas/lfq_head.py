@@ -62,7 +62,9 @@ def lfq_head(
     `sign(x @ w + b)` and its MSB-first bit-packed index.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from open_genie_tpu.utils import is_tpu_backend
+
+        interpret = not is_tpu_backend()
     lead = x.shape[:-1]
     c = x.shape[-1]
     d = w.shape[-1]

@@ -20,6 +20,20 @@ D = TypeVar("D")
 Blueprint = Sequence[Union[str, Tuple[str, Dict[str, Any]]]]
 
 
+def is_tpu_backend() -> bool:
+    """True when the default backend executes on TPU hardware.
+
+    Covers the plain `tpu` platform AND tunneled PJRT plugins that
+    register under another name but run on a real chip (this machine's
+    remote-TPU plugin registers as `axon`). Every Pallas compile/dispatch
+    decision must go through here: testing `== "tpu"` silently sent the
+    flash/fused kernels down the XLA (or worse, interpret) path on
+    tunneled chips.
+    """
+    plat = jax.default_backend().lower()
+    return plat == "tpu" or "axon" in plat
+
+
 def exists(var: Optional[T]) -> bool:
     return var is not None
 
