@@ -305,7 +305,7 @@ def main():
         probe = _run_child("probe", deadline, 300, [])
         if probe:
             break
-        if time.monotonic() < deadline - 120:
+        if attempt < 2 and time.monotonic() < deadline - 120:
             time.sleep(15 * (attempt + 1))
     if not probe:
         print("# backend probe failed after retries; emitting null metrics")

@@ -18,6 +18,25 @@ import numpy as np
 from open_genie_tpu.data.video import VideoDataset
 
 
+class DatasetShard:
+    """Strided per-process view of a dataset: process p of N sees items
+    p, p+N, p+2N, ... -- the multi-host equivalent of DDP's per-rank
+    sampler split. Wraps any map-style dataset."""
+
+    def __init__(self, dataset, shard: int, num_shards: int) -> None:
+        assert 0 <= shard < num_shards
+        self.dataset = dataset
+        self.shard = shard
+        self.num_shards = num_shards
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n - self.shard + self.num_shards - 1) // self.num_shards
+
+    def __getitem__(self, i: int):
+        return self.dataset[i * self.num_shards + self.shard]
+
+
 class BatchLoader:
     """Iterate `(B, T, H, W, C)` float32 batches from a VideoDataset."""
 
@@ -113,11 +132,9 @@ class BatchLoader:
                     batch = results.pop(served)
                     state["served"] = served + 1
                     cond.notify_all()
-                if self.sharding is not None:
-                    batch = jax.device_put(batch, self.sharding)
-                else:
-                    batch = jax.device_put(batch)
-                yield batch
+                from open_genie_tpu.parallel.mesh import place_batch
+
+                yield place_batch(batch, self.sharding)
         finally:
             with cond:
                 state["abort"] = True

@@ -216,9 +216,9 @@ class NativeBatchLoader:
                     submitted += 1
                     inflight += 1
                 if self.sharding is not None:
-                    import jax
+                    from open_genie_tpu.parallel.mesh import place_batch
 
-                    out = jax.device_put(out, self.sharding)
+                    out = place_batch(out, self.sharding)
                 yield out
         finally:
             lib.gvid_prefetch_stop(self.ds.handle)

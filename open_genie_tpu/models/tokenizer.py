@@ -149,6 +149,12 @@ class VideoTokenizer(nn.Module):
         """
         from open_genie_tpu.utils import is_tpu_backend
 
+        # Never fuse while params are being created: the fused path READS
+        # the head conv's params instead of calling the layer, so during
+        # `init` they don't exist yet (and the layer must be traced so
+        # Flax creates them) -- the unfused path is the init path.
+        if self.is_initializing():
+            fused = False
         if fused is None:
             fused = is_tpu_backend() and self.head_fusable()
         if fused:

@@ -65,20 +65,31 @@ def init_distributed(
     return True
 
 
-def global_batch(batch, mesh: Mesh):
-    """Assemble a GLOBAL batch-sharded array from per-process local data.
+def place_batch(batch, sharding: Optional[NamedSharding]):
+    """Put a host-local batch on device under `sharding`, multi-host aware.
 
-    Single-process: a plain sharded `device_put`. Multi-process (after
-    `init_distributed`): each host passes its LOCAL shard of the batch
-    (loaders feed disjoint data per host) and the result is one global
-    jax.Array of leading dim `local_batch * num_processes`, sharded over
-    the `data` axis -- the multi-host equivalent of the reference's DDP
-    per-rank DataLoader split (`config/tokenize.yaml:77`).
+    Single-process: plain (sharded) `device_put`. Multi-process: a
+    NamedSharding spans non-addressable devices, which `device_put`
+    rejects -- the local batch is each host's shard of the global batch
+    and is assembled via `make_array_from_process_local_data` (loaders
+    feed disjoint data per host; see `trainer.build_loader`).
     """
-    sharding = batch_sharding(mesh)
+    if sharding is None:
+        return jax.device_put(batch)
     if jax.process_count() == 1:
         return jax.device_put(batch, sharding)
     return jax.make_array_from_process_local_data(sharding, batch)
+
+
+def global_batch(batch, mesh: Mesh):
+    """Assemble a GLOBAL batch-sharded array from per-process local data.
+
+    Each host passes its LOCAL shard of the batch and the result is one
+    global jax.Array of leading dim `local_batch * num_processes`,
+    sharded over the `data` axis -- the multi-host equivalent of the
+    reference's DDP per-rank DataLoader split (`config/tokenize.yaml:77`).
+    """
+    return place_batch(batch, batch_sharding(mesh))
 
 
 def make_mesh(

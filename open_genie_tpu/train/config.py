@@ -234,7 +234,8 @@ class TrainerConfig:
         # ModelCheckpoint callback (reference config/tokenize.yaml:82-86):
         # monitor/save_last map onto the loop's best-val + final-save knobs.
         for cb in raw.get("callbacks") or []:
-            if "ModelCheckpoint" in str(cb.get("class_path", "")):
+            # entries may be bare class-path strings (jsonargparse shorthand)
+            if isinstance(cb, dict) and "ModelCheckpoint" in str(cb.get("class_path", "")):
                 args = cb.get("init_args") or {}
                 known.setdefault("monitor", args.get("monitor", "val_loss"))
                 known.setdefault("save_last", bool(args.get("save_last", True)))

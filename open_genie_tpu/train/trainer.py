@@ -82,18 +82,39 @@ def build_dataset(cfg, split: str = "train") -> object:
 
 def build_loader(cfg, dataset, mesh, tcfg, split: str = "train"):
     """Batch loader for a dataset: the C++ prefetcher for .gvid sources
-    (`data/native.py`), threaded Python decode otherwise. Validation batch
-    sizes are rounded to a multiple of the mesh `data` axis so val batches
-    shard over the mesh exactly like train batches."""
+    (`data/native.py`), threaded Python decode otherwise.
+
+    Validation batch sizes round DOWN to a multiple of the mesh `data`
+    axis so val batches shard like train batches; a val set smaller than
+    the data axis falls back to tiny replicated batches (never a silent
+    zero-length loader). Multi-process (after `init_distributed`): each
+    process loads a disjoint stride of the dataset and 1/num_processes of
+    the global batch; `place_batch` assembles the global array.
+    """
+    from open_genie_tpu.data.loader import DatasetShard
     from open_genie_tpu.data.native import GVidDataset, NativeBatchLoader
     from open_genie_tpu.parallel.mesh import DATA_AXIS
 
     train = split == "train"
     n_data = mesh.shape[DATA_AXIS]
     batch_size = cfg.data.batch_size
+    sharding = batch_sharding(mesh)
     if not train:
         batch_size = min(batch_size, len(dataset))
-        batch_size = max(n_data, batch_size - batch_size % n_data)
+        rounded = batch_size - batch_size % n_data
+        if rounded == 0:
+            sharding = None  # val set smaller than the data axis
+        else:
+            batch_size = rounded
+
+    nproc = jax.process_count()
+    if nproc > 1:
+        assert batch_size % nproc == 0, (
+            f"global batch {batch_size} must divide over {nproc} processes"
+        )
+        dataset = DatasetShard(dataset, jax.process_index(), nproc)
+        batch_size //= nproc
+
     if isinstance(dataset, GVidDataset):
         return NativeBatchLoader(
             dataset,
@@ -101,7 +122,7 @@ def build_loader(cfg, dataset, mesh, tcfg, split: str = "train"):
             shuffle=train,
             num_threads=cfg.data.num_workers,
             seed=tcfg.seed,
-            sharding=batch_sharding(mesh),
+            sharding=sharding,
         )
     return BatchLoader(
         dataset,
@@ -109,7 +130,7 @@ def build_loader(cfg, dataset, mesh, tcfg, split: str = "train"):
         shuffle=train,
         num_workers=cfg.data.num_workers,
         seed=tcfg.seed,
-        sharding=batch_sharding(mesh),
+        sharding=sharding,
     )
 
 

@@ -126,3 +126,22 @@ def test_named_blueprint_resolution(tmp_path):
     cfg = load_config(str(p), kind="tokenizer")
     assert cfg.model.enc_desc[0][0] == "causal-conv3d"
     assert cfg.model.dec_desc[-1][1]["out_channels"] == 3
+
+
+def test_callbacks_parse_modelcheckpoint_and_tolerate_strings(tmp_path):
+    """Lightning callback lists may mix dicts and bare class-path strings
+    (jsonargparse shorthand); ModelCheckpoint init_args map onto the
+    monitor/save_last loop knobs (reference config/tokenize.yaml:82-86)."""
+    p = tmp_path / "cb.yaml"
+    p.write_text(
+        "model: {enc_desc: magvit2_enc, dec_desc: magvit2_dec, d_codebook: 18}\n"
+        "data: {}\n"
+        "trainer:\n"
+        "  callbacks:\n"
+        "    - lightning.pytorch.callbacks.LearningRateMonitor\n"
+        "    - class_path: lightning.pytorch.callbacks.ModelCheckpoint\n"
+        "      init_args: {monitor: val_rec_loss, save_last: false}\n"
+    )
+    cfg = load_config(str(p), kind="tokenizer")
+    assert cfg.trainer.monitor == "val_rec_loss"
+    assert cfg.trainer.save_last is False

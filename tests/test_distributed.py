@@ -44,6 +44,21 @@ total = jax.jit(
     out_shardings=NamedSharding(mesh, P()),
 )(g)
 print("DIST_OK", float(total))
+
+# Loader path: each process streams ITS stride of the dataset through
+# BatchLoader; place_batch assembles global (4, ...) arrays (device_put
+# would reject the non-addressable sharding -- the trainer regression).
+from open_genie_tpu.data.loader import BatchLoader, DatasetShard
+from open_genie_tpu.data.video import SyntheticVideo
+from open_genie_tpu.parallel.mesh import batch_sharding
+
+ds = DatasetShard(SyntheticVideo(num_videos=8, num_frames=2, height=8,
+                                 width=8), jax.process_index(), 2)
+loader = BatchLoader(ds, batch_size=2, num_workers=1, shuffle=False,
+                     sharding=batch_sharding(mesh))
+shapes = [tuple(b.shape) for b in loader]
+assert shapes == [(4, 2, 8, 8, 3)] * 2, shapes
+print("LOADER_OK", shapes[0])
 """
 
 
@@ -85,3 +100,4 @@ def test_two_process_cpu_mesh():
     for rc, out, err in outs:
         assert rc == 0, f"child failed rc={rc}:\n{err[-2000:]}"
         assert "DIST_OK 6.0" in out, out  # sum = 6*0 + 6*1
+        assert "LOADER_OK" in out, out

@@ -116,6 +116,18 @@ def test_fused_head_tokenize_matches_unfused(tok_and_params):
     np.testing.assert_allclose(np.asarray(q0), np.asarray(q1), atol=1e-6)
 
 
+def test_tokenize_init_never_uses_fused_path():
+    """During `init` the head conv's params don't exist yet (the fused
+    path READS them instead of calling the layer), so initializing via
+    tokenize must trace the unfused path even with fused=True -- on TPU
+    the auto-dispatch would otherwise crash Genie.init_full."""
+    tok = VideoTokenizer(enc_desc=ENC, dec_desc=DEC, d_codebook=D)
+    video = jnp.zeros((1, 4, 16, 16, 3))
+    variables = tok.init(KEY, video, method=tok.tokenize, fused=True)
+    # the head conv's params were created along the traced path
+    assert "conv3d" in variables["params"][f"enc_layers_{len(ENC) - 1}"]
+
+
 def test_head_fusable_is_conservative():
     """Blueprints whose head is not a pure 1x1 projection must refuse the
     fused path (kernel-3 head; projection mismatch)."""

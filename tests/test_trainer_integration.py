@@ -139,6 +139,32 @@ def test_train_from_gvid_source(tmp_path):
     assert len(batches) == 2 and batches[0].shape == (2, 4, 16, 16, 3)
 
 
+def test_val_loader_smaller_than_data_axis_still_serves(tmp_path):
+    """A val split smaller than the mesh `data` axis must fall back to
+    tiny replicated batches, never a silent zero-length loader (which
+    would disable validation and best-checkpointing without a trace)."""
+    from open_genie_tpu.data.video import SyntheticVideo
+    from open_genie_tpu.parallel.mesh import make_mesh
+    from open_genie_tpu.train.trainer import build_loader
+
+    cfg = ExperimentConfig(
+        model=None, data=_data_cfg(), trainer=_trainer_cfg(tmp_path, "vs"),
+    )
+    cfg.data.batch_size = 8
+    mesh = make_mesh(n_data=8, n_model=1)
+    small = SyntheticVideo(num_videos=5, num_frames=4, height=16, width=16)
+    loader = build_loader(cfg, small, mesh, cfg.trainer, split="val")
+    batches = list(loader)
+    assert len(batches) >= 1
+    assert batches[0].shape[0] == 5  # unsharded tiny batch
+
+    # and a divisible val set rounds DOWN onto the data axis
+    big = SyntheticVideo(num_videos=13, num_frames=4, height=16, width=16)
+    loader = build_loader(cfg, big, mesh, cfg.trainer, split="val")
+    batches = list(loader)
+    assert batches[0].shape[0] == 8
+
+
 def test_pretrained_vgg_weights_load_and_stay_frozen(tmp_path):
     """`perc_weights_npz` must install converted torchvision-layout VGG
     weights into the perceptual critic, and the freeze mask must keep them

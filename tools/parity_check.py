@@ -23,7 +23,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import subprocess
 import sys
 import time
@@ -328,22 +327,9 @@ def child_main(config: str, role: str, work_dir: str):
 # ------------------------------------------------------------------ #
 
 def _scrubbed_cpu_env() -> dict:
-    env = dict(os.environ)
-    parts = [
-        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-        if p and "axon" not in p.lower()
-    ]
-    env["PYTHONPATH"] = os.pathsep.join([REPO] + parts)
-    for k in list(env):
-        if k.startswith(("PALLAS_AXON", "AXON_", "TPU_", "LIBTPU")):
-            env.pop(k)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = re.sub(
-        r"--xla_force_host_platform_device_count=\d+", "",
-        env.get("XLA_FLAGS", ""),
-    ).strip()
-    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, "tests", ".jax_cache")
-    return env
+    from open_genie_tpu.utils.hostenv import scrubbed_cpu_env
+
+    return scrubbed_cpu_env(repo_root=REPO)
 
 
 def _run_child(config, role, work_dir, timeout):
