@@ -65,9 +65,12 @@ def _fwd_kernel(
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        # Keep bf16 operands ON the MXU (bf16 x bf16 -> f32 accumulate is
+        # its native fast path); upcasting to f32 first would force slow
+        # f32 MXU passes. f32 inputs stay f32 throughout.
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
 
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -97,7 +100,7 @@ def _fwd_kernel(
         l_new = corr * l_ref[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
 
         acc_ref[:] = acc_ref[:] * corr + lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -181,10 +184,12 @@ def _bwd_dkv_kernel(
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)     # (bq, d)
-        k = k_ref[0].astype(jnp.float32)     # (bk, d)
-        v = v_ref[0].astype(jnp.float32)     # (bk, d)
-        do = do_ref[0].astype(jnp.float32)   # (bq, d)
+        # bf16 operands stay bf16 on the MXU (f32 accumulate); recomputed
+        # probability/ds tiles are cast back down for their matmuls.
+        q = q_ref[0]                          # (bq, d)
+        k = k_ref[0]                          # (bk, d)
+        v = v_ref[0]                          # (bk, d)
+        do = do_ref[0]                        # (bq, d)
         lse = lse_ref[0]                      # (bq, 1)
         delta = delta_ref[0]                  # (bq, 1)
 
@@ -209,7 +214,7 @@ def _bwd_dkv_kernel(
         p = jnp.exp(s - lse)                 # (bq, bk)
         # dv_j += p^T dout
         dv_acc[:] += lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = lax.dot_general(
@@ -219,7 +224,7 @@ def _bwd_dkv_kernel(
         ds = p * (dp - delta)
         # dk_j += s * ds^T q
         dk_acc[:] += scale * lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -250,10 +255,10 @@ def _bwd_dq_kernel(
 
     @pl.when(should_run)
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0]
         delta = delta_ref[0]
 
@@ -282,7 +287,7 @@ def _bwd_dq_kernel(
         )
         ds = p * (dp - delta)
         dq_acc[:] += scale * lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 

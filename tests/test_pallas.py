@@ -72,6 +72,45 @@ def test_flash_attention_padded_grad_matches_xla():
         np.testing.assert_allclose(a, b_, rtol=2e-3, atol=2e-4)
 
 
+def test_flash_attention_bf16_matches_xla():
+    """bf16 operands stay bf16 on the MXU (f32 accumulate); outputs must
+    track the XLA bf16 attention within bf16 tolerance."""
+    b, h, n, d = 1, 2, 256, 32
+    q = jax.random.normal(KEY, (b, h, n, d)).astype(jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, n, d)).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, n, d)).astype(jnp.bfloat16)
+
+    out_flash = flash_attention(q, k, v, causal=True, interpret=True)
+    out_ref = _xla_attention(q, k, v, scale=d ** -0.5, causal=True)
+    assert out_flash.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out_flash, np.float32), np.asarray(out_ref, np.float32),
+        rtol=0.05, atol=0.02,
+    )
+
+
+def test_flash_attention_bf16_grad_finite_and_close():
+    b, h, n, d = 1, 1, 256, 16
+    q = jax.random.normal(KEY, (b, h, n, d)).astype(jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, n, d)).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, n, d)).astype(jnp.bfloat16)
+
+    g_flash = jax.grad(
+        lambda q, k, v: flash_attention(q, k, v, interpret=True)
+        .astype(jnp.float32).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: _xla_attention(q, k, v, scale=d ** -0.5)
+        .astype(jnp.float32).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        a32, b32 = np.asarray(a, np.float32), np.asarray(b_, np.float32)
+        assert np.isfinite(a32).all()
+        np.testing.assert_allclose(a32, b32, rtol=0.1, atol=0.05)
+
+
 def test_flash_auto_dispatch_covers_stock_shapes():
     """The stock 1024-token spatial grid and odd lengths must auto-select
     the flash path on TPU (no silent O(N^2) fallback). Checked against the
