@@ -81,6 +81,82 @@ def _generate(args):
     print(f"wrote {video.shape[0]} frames to {args.out}")
 
 
+def _play(args):
+    """Interactive world-model session: action in, frame out.
+
+    `--actions 0,1,0,2` scripts the session (good for piping/testing);
+    without it, actions are read from stdin one per line (blank = 0,
+    'q' quits). Frames accumulate into `--out` as an mp4 on exit.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_genie_tpu.data.video import SyntheticVideo, write_mp4
+    from open_genie_tpu.models.genie import Genie
+    from open_genie_tpu.serve import InteractiveSession
+    from open_genie_tpu.train.config import load_config
+    from open_genie_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        restore_params,
+    )
+    from open_genie_tpu.train.losses import GenieTrainModule
+
+    cfg = load_config(args.config, kind="genie")
+    genie_kwargs = dict(
+        tokenizer=cfg.model.tokenizer,
+        latent_action=cfg.model.latent_action,
+        dynamics=cfg.model.dynamics,
+    )
+    module = GenieTrainModule(genie=genie_kwargs)
+    key = jax.random.PRNGKey(args.seed)
+    sample = jnp.zeros((1, 4, args.size, args.size, 3), jnp.float32)
+    state = create_train_state(
+        module, sample, key, make_optimizer(),
+        init_kwargs={"method": module.full_init},
+    )
+    params = state.params
+    if args.ckpt:
+        params, _ = restore_params(args.ckpt, params)
+
+    genie = Genie(**genie_kwargs)
+    sess = InteractiveSession(
+        genie, {"params": params["model"]},
+        max_frames=args.max_frames,
+        steps_per_frame=args.steps_per_frame,
+        pixel_window=args.pixel_window,
+    )
+    prompt = jnp.asarray(
+        SyntheticVideo(num_frames=1, height=args.size, width=args.size)[0]
+    )[None]
+    frames = [np.asarray(f) for f in sess.reset(np.asarray(prompt), seed=args.seed)[0]]
+    print(f"session ready ({args.max_frames}-frame horizon); prompt decoded")
+
+    if args.actions:
+        script = [int(a) for a in args.actions.split(",")]
+        for i, a in enumerate(script[: args.max_frames]):
+            frame = sess.step(a)
+            frames.append(np.asarray(frame[0]))
+            print(f"[frame {i + 1}] action={a} -> {frame.shape[1:]}")
+    else:  # pragma: no cover - interactive
+        import sys
+
+        print("enter action id per line (blank=0, q=quit):")
+        for i in range(args.max_frames):
+            line = sys.stdin.readline()
+            if not line or line.strip().lower() == "q":
+                break
+            a = int(line.strip() or 0)
+            frame = sess.step(a)
+            frames.append(np.asarray(frame[0]))
+            print(f"[frame {i + 1}] action={a}")
+
+    video = np.clip(np.stack(frames), 0, 1)
+    write_mp4(args.out, video)
+    print(f"wrote {video.shape[0]} frames to {args.out}")
+
+
 def _make_data(args):
     import numpy as np
 
@@ -163,6 +239,21 @@ def main(argv=None):
     pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--out", default="rollout.mp4")
     pg.set_defaults(fn=_generate)
+
+    pp = sub.add_parser(
+        "play", help="interactive world-model session (action in, frame out)"
+    )
+    pp.add_argument("--config", required=True)
+    pp.add_argument("--ckpt", default=None)
+    pp.add_argument("--actions", default=None,
+                    help="comma-separated action ids (else read from stdin)")
+    pp.add_argument("--size", type=int, default=64)
+    pp.add_argument("--max-frames", dest="max_frames", type=int, default=32)
+    pp.add_argument("--steps-per-frame", dest="steps_per_frame", type=int, default=8)
+    pp.add_argument("--pixel-window", dest="pixel_window", type=int, default=4)
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--out", default="session.mp4")
+    pp.set_defaults(fn=_play)
 
     pd = sub.add_parser("make-data", help="generate an mp4 dataset")
     pd.add_argument("--root", required=True)

@@ -187,34 +187,9 @@ class Genie(nn.Module):
             act_t = jnp.take_along_axis(
                 actions, tgt[None, None], axis=1
             )[:, 0]
-            step_keys = jax.random.split(k, steps_per_frame)
-            mask0 = jnp.ones((b, h * w), dtype=bool)
-            code0 = jnp.zeros((b, h * w), dtype=buf.dtype)
-
-            def refine(carry, step_inp):
-                mask, code = carry
-                num_tokens, sk = step_inp
-                frame = jnp.where(mask, 0, code).reshape(b, h, w)
-                logits, _ = self.dynamics_.decode_frame(
-                    frame, act_t, cache, tgt
-                )
-                logits = logits.reshape(b, h * w, -1).astype(jnp.float32) / temp
-                pred = jax.random.categorical(sk, logits, axis=-1)
-                prob = jax.nn.softmax(logits, axis=-1)
-                conf = jnp.take_along_axis(prob, pred[..., None], axis=-1)[..., 0]
-                conf = jnp.where(mask, conf, -jnp.inf)
-                order = jnp.argsort(-conf, axis=-1)
-                rank = jnp.argsort(order, axis=-1)
-                commit = (rank < num_tokens) & mask
-                code = jnp.where(commit, pred.astype(code.dtype), code)
-                return (mask & ~commit, code), None
-
-            (mask, code), _ = lax.scan(
-                refine, (mask0, code0), (schedule, step_keys)
+            frame, cache = self._refine_frame(
+                cache, tgt, act_t, k, schedule, temp, (b, h, w), buf.dtype
             )
-            frame = code.reshape(b, h, w)
-            # Commit the finished frame's K/V + FFN window into the caches.
-            _, cache = self.dynamics_.decode_frame(frame, act_t, cache, tgt)
             buf = lax.dynamic_update_slice_in_dim(
                 buf, frame[:, None], tgt, axis=1
             )
@@ -224,6 +199,106 @@ class Genie(nn.Module):
             gen_frame, (buf, cache), (jnp.arange(num_frames), frame_keys)
         )
         return buf
+
+    def _refine_frame(
+        self, cache, tgt, act_t, key, schedule, temp, bhw, dtype
+    ):
+        """One cached MaskGIT frame generation: `len(schedule)` refinement
+        passes over the new frame, then a commit pass that appends the
+        finished frame's K/V + FFN window to the caches. Shared by the
+        batch rollout (`rollout_tokens`) and the interactive session
+        (`session_step`); token-exact between the two given the same key.
+        """
+        b, h, w = bhw
+        step_keys = jax.random.split(key, len(schedule))
+        mask0 = jnp.ones((b, h * w), dtype=bool)
+        code0 = jnp.zeros((b, h * w), dtype=dtype)
+
+        def refine(carry, step_inp):
+            mask, code = carry
+            num_tokens, sk = step_inp
+            frame = jnp.where(mask, 0, code).reshape(b, h, w)
+            logits, _ = self.dynamics_.decode_frame(frame, act_t, cache, tgt)
+            logits = logits.reshape(b, h * w, -1).astype(jnp.float32) / temp
+            pred = jax.random.categorical(sk, logits, axis=-1)
+            prob = jax.nn.softmax(logits, axis=-1)
+            conf = jnp.take_along_axis(prob, pred[..., None], axis=-1)[..., 0]
+            conf = jnp.where(mask, conf, -jnp.inf)
+            order = jnp.argsort(-conf, axis=-1)
+            rank = jnp.argsort(order, axis=-1)
+            commit = (rank < num_tokens) & mask
+            code = jnp.where(commit, pred.astype(code.dtype), code)
+            return (mask & ~commit, code), None
+
+        (mask, code), _ = lax.scan(refine, (mask0, code0), (schedule, step_keys))
+        frame = code.reshape(b, h, w)
+        _, cache = self.dynamics_.decode_frame(frame, act_t, cache, tgt)
+        return frame, cache
+
+    # ------------------------------------------------------------------ #
+    # Interactive session (streaming serving surface; see serve.py)
+    # ------------------------------------------------------------------ #
+
+    def session_prefill(
+        self, prompt: jnp.ndarray, max_frames: int,
+        actions: jnp.ndarray = None,
+    ):
+        """Start an interactive session: tokenize the prompt, allocate the
+        KV caches for `t0 + max_frames` frames, and commit the prompt
+        frames. Returns `(buf, cache, t0)` with `buf` zero-padded to the
+        session horizon. `actions` optionally provides the prompt frames'
+        action ids (defaults to zeros, like an idle controller).
+        """
+        tokens = self.tokenize_prompt(prompt)
+        b, t0, h, w = tokens.shape
+        if actions is None:
+            actions = jnp.zeros((b, t0), jnp.int32)
+        cache = self.dynamics_.init_cache(b, h, w, t0 + max_frames)
+
+        def prefill(cache, inp):
+            pos, frame, act = inp
+            _, cache = self.dynamics_.decode_frame(frame, act, cache, pos)
+            return cache, None
+
+        cache, _ = lax.scan(
+            prefill,
+            cache,
+            (
+                jnp.arange(t0),
+                jnp.moveaxis(tokens, 1, 0),
+                jnp.moveaxis(actions[:, :t0], 1, 0),
+            ),
+        )
+        buf = jnp.concatenate(
+            [tokens, jnp.zeros((b, max_frames, h, w), tokens.dtype)], axis=1
+        )
+        return buf, cache, t0
+
+    def session_step(
+        self,
+        buf: jnp.ndarray,
+        cache,
+        t,
+        action: jnp.ndarray,
+        key: jax.Array,
+        steps_per_frame: int = 8,
+        temp: float = 1.0,
+        which: str = "linear",
+    ):
+        """Generate the frame at position `t` of the session buffer from a
+        live `(B,)` action (the "press a button, get a frame" path).
+        Returns `(buf, cache)`; token-exact with `rollout_tokens` given
+        the per-frame key. `t` may be traced (no recompile per step).
+        """
+        from open_genie_tpu.models.dynamics import get_schedule
+
+        b, _, h, w = buf.shape
+        schedule = jnp.asarray(get_schedule(steps_per_frame, (h, w), which))
+        frame, cache = self._refine_frame(
+            cache, t, action, key, schedule, temp, (b, h, w), buf.dtype
+        )
+        buf = lax.dynamic_update_slice_in_dim(buf, frame[:, None], t, axis=1)
+        return buf, cache
 
     def rollout_tokens_full(
         self,
@@ -302,6 +377,10 @@ class Genie(nn.Module):
             gen_frame, buf, (jnp.arange(num_frames), keys)
         )
         return buf
+
+    def decode_window(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Decode a token-frame window to pixels (serving helper)."""
+        return self.tokenizer_.decode_tokens(tokens)
 
     def __call__(
         self,

@@ -1,0 +1,142 @@
+"""Interactive serving: a stateful streaming session over a trained Genie.
+
+The reference has no serving path at all (its `Genie` class is
+non-functional, SURVEY.md 2.11.1); this is the "playable world model"
+surface Genie-style systems exist for: press an action, get the next
+frame. TPU-shaped design:
+
+  * ONE compiled step program for the whole session: the dynamics KV
+    caches are fixed-size (allocated for the session horizon at reset)
+    and the frame position is a traced scalar, so stepping never
+    recompiles and per-step compute is O(1) in history length.
+  * Pixel decode runs over a fixed-length sliding window of token frames
+    (static shape -> one compiled decode). The window is needed for
+    exactness-in-practice: the MAGVIT2-style decoder's GroupNorm pools
+    statistics over time, so it is not strictly time-causal; `pixel_window`
+    trades context for latency (the dynamics side IS exactly causal and
+    token-exact vs the batch rollout, pinned by tests/test_serve.py).
+  * All stochasticity keyed: `reset(seed)` derives one key per future
+    frame, matching `Genie.rollout_tokens`' key split so an interactive
+    session replays a batch rollout bit-for-bit when fed the same actions.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_genie_tpu.models.genie import Genie
+
+
+class InteractiveSession:
+    """Stateful action->frame loop over a trained Genie.
+
+    Usage:
+        sess = InteractiveSession(genie, params, max_frames=64)
+        first = sess.reset(prompt_video, seed=0)   # (B, T0*, H, W, C)
+        frame = sess.step(action_id)               # (B, H, W, C) each call
+    """
+
+    def __init__(
+        self,
+        genie: Genie,
+        params,
+        max_frames: int = 64,
+        steps_per_frame: int = 8,
+        temp: float = 1.0,
+        which: str = "linear",
+        pixel_window: int = 4,
+    ) -> None:
+        self.genie = genie
+        self.params = params if "params" in params else {"params": params}
+        self.max_frames = max_frames
+        self.pixel_window = pixel_window
+
+        self._prefill = jax.jit(
+            lambda p, prompt, acts: genie.apply(
+                p, prompt, max_frames, actions=acts,
+                method=genie.session_prefill,
+            )
+        )
+        self._step = jax.jit(
+            lambda p, buf, cache, t, act, key: genie.apply(
+                p, buf, cache, t, act, key,
+                steps_per_frame=steps_per_frame, temp=temp, which=which,
+                method=genie.session_step,
+            )
+        )
+
+        # Sliding-window decode with a TRACED window start: one compile,
+        # no per-step recompilation. For the first few steps (t < window)
+        # the clamped window can include not-yet-generated zero frames;
+        # the causal convs keep them from leaking into earlier frames and
+        # only the (time-pooled) GroupNorm statistics see them.
+        def _decode_window(p, buf, t):
+            w = min(pixel_window, buf.shape[1])  # short-horizon sessions
+            window = jax.lax.dynamic_slice_in_dim(
+                buf, jnp.maximum(t - w, 0), w, axis=1
+            )
+            return genie.apply(p, window, method=genie.decode_window)
+
+        self._decode_window = jax.jit(_decode_window)
+        # Exact prompt decode (static prompt length; compiles once per
+        # prompt shape).
+        self._decode_prefix = jax.jit(
+            lambda p, tokens: genie.apply(p, tokens, method=genie.decode_window)
+        )
+        self._buf = self._cache = None
+        self._t = 0
+        self._t0 = 0
+        self._keys = None
+
+    # ---------------------------------------------------------------- #
+
+    def reset(self, prompt, seed: int = 0, prompt_actions=None) -> np.ndarray:
+        """Start a session from an image/video prompt; returns the prompt's
+        decoded pixels. `prompt_actions` optionally supplies the action ids
+        of the prompt frames (`(B, T0)`, defaults to zeros). One compile on
+        first use per prompt shape."""
+        prompt = jnp.asarray(prompt)
+        if prompt.ndim == 4:
+            prompt = prompt[:, None]
+        if prompt_actions is None:
+            prompt_actions = jnp.zeros(
+                (prompt.shape[0], prompt.shape[1]), jnp.int32
+            )
+        buf, cache, t0 = self._prefill(
+            self.params, prompt, jnp.asarray(prompt_actions, jnp.int32)
+        )
+        self._buf, self._cache = buf, cache
+        self._t0 = int(t0)
+        self._t = self._t0
+        self._keys = list(
+            jax.random.split(jax.random.PRNGKey(seed), self.max_frames)
+        )
+        pixels = self._decode_prefix(self.params, buf[:, : self._t0])
+        return np.asarray(pixels)
+
+    def step(self, action) -> np.ndarray:
+        """Advance one frame with `action` (int or `(B,)` array); returns
+        the new frame's pixels `(B, H', W', C)`."""
+        assert self._buf is not None, "call reset() first"
+        assert self._t - self._t0 < self.max_frames, (
+            f"session horizon exhausted ({self.max_frames} frames); "
+            "raise max_frames at construction"
+        )
+        b = self._buf.shape[0]
+        act = jnp.broadcast_to(jnp.asarray(action, jnp.int32), (b,))
+        key = self._keys[self._t - self._t0]
+        self._buf, self._cache = self._step(
+            self.params, self._buf, self._cache,
+            jnp.asarray(self._t, jnp.int32), act, key,
+        )
+        self._t += 1
+        pixels = self._decode_window(
+            self.params, self._buf, jnp.asarray(self._t, jnp.int32)
+        )
+        return np.asarray(pixels[:, -1])
+
+    @property
+    def tokens(self) -> np.ndarray:
+        """Token buffer so far `(B, t, H, W)` (generated prefix only)."""
+        return np.asarray(self._buf[:, : self._t])

@@ -1,0 +1,109 @@
+"""Interactive serving session: token-exact vs the batch rollout.
+
+The session path (`serve.InteractiveSession` -> `Genie.session_prefill` /
+`session_step`) shares `_refine_frame` with `Genie.rollout_tokens`; given
+the same per-frame keys and actions, an interactive session must replay
+the batch rollout bit-for-bit in token space, while never recompiling
+across steps.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_genie_tpu.models.genie import Genie
+from open_genie_tpu.serve import InteractiveSession
+
+H = W = 16
+GENIE_CFG = dict(
+    tokenizer=dict(
+        enc_desc=(
+            ("spacetime_downsample", {
+                "in_channels": 3, "kernel_size": 3, "out_channels": 8,
+                "time_factor": 1, "space_factor": 4,
+            }),
+            ("causal-conv3d", {"in_channels": 8, "out_channels": 4, "kernel_size": 1}),
+        ),
+        dec_desc=(
+            ("causal-conv3d", {"in_channels": 4, "out_channels": 8, "kernel_size": 3}),
+            ("depth2spacetime_upsample", {
+                "in_channels": 8, "out_channels": 3, "kernel_size": 3,
+                "time_factor": 1, "space_factor": 4,
+            }),
+        ),
+        d_codebook=4,
+    ),
+    latent_action=dict(
+        enc_desc=(
+            ("space-time_attn", {"n_rep": 1, "n_embd": 8, "n_head": 1, "d_head": 8}),
+        ),
+        dec_desc=(
+            ("space-time_attn", {
+                "n_rep": 1, "n_embd": 8, "n_head": 1, "d_head": 8,
+                "has_ext": True, "time_attn_kw": {"key_dim": 2},
+            }),
+        ),
+        d_codebook=2, n_embd=8, inp_shape=(H, W),
+    ),
+    dynamics=dict(
+        desc=(("space-time_attn", {"n_rep": 1, "n_embd": 16, "n_head": 2, "d_head": 8}),),
+        embed_dim=16,
+    ),
+)
+N_FRAMES = 3
+SPF = 3
+
+
+@pytest.fixture(scope="module")
+def genie_and_params():
+    model = Genie(**GENIE_CFG)
+    key = jax.random.PRNGKey(0)
+    video = jnp.zeros((1, 4, H, W, 3), jnp.float32)
+    params = jax.jit(
+        lambda k: model.init(k, video, k, method=model.init_full)
+    )(key)
+    return model, params
+
+
+def test_session_replays_batch_rollout(genie_and_params):
+    model, params = genie_and_params
+    prompt = jax.random.uniform(jax.random.PRNGKey(1), (1, 1, H, W, 3))
+    actions = jax.random.randint(
+        jax.random.PRNGKey(2), (1, 1 + N_FRAMES), 0, 4
+    )
+    seed = 7
+
+    # Batch rollout reference (token space).
+    tokens0 = model.apply(params, prompt, method=model.tokenize_prompt)
+    want = model.apply(
+        params, tokens0, actions, jax.random.PRNGKey(seed),
+        num_frames=N_FRAMES, steps_per_frame=SPF,
+        method=model.rollout_tokens,
+    )
+
+    # Interactive session with the same per-frame keys/actions.
+    sess = InteractiveSession(
+        model, params, max_frames=N_FRAMES, steps_per_frame=SPF,
+        pixel_window=2,
+    )
+    first = sess.reset(
+        np.asarray(prompt), seed=seed,
+        prompt_actions=np.asarray(actions[:, :1]),
+    )
+    assert first.shape == (1, 1, H, W, 3)
+    frames = [sess.step(int(actions[0, 1 + i])) for i in range(N_FRAMES)]
+    for f in frames:
+        assert f.shape == (1, H, W, 3)
+        assert np.isfinite(f).all()
+
+    np.testing.assert_array_equal(sess.tokens, np.asarray(want))
+
+
+def test_session_horizon_guard(genie_and_params):
+    model, params = genie_and_params
+    sess = InteractiveSession(model, params, max_frames=1, steps_per_frame=2)
+    prompt = np.zeros((1, 1, H, W, 3), np.float32)
+    sess.reset(prompt)
+    sess.step(0)
+    with pytest.raises(AssertionError, match="horizon"):
+        sess.step(0)
