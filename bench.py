@@ -298,15 +298,19 @@ def main():
         "--train-frames", str(args.train_frames),
     ]
 
-    # Fail-fast backend probe with retries: tunnel-backend init errors are
-    # transient; never let one poison the whole bench (fresh process each).
+    # Backend probe with persistent retries: tunnel-backend outages are
+    # often transient, and a bench with no backend has nothing better to
+    # spend its budget on than waiting for one -- keep probing (fresh
+    # process each time) while enough budget remains to run at least the
+    # headline rollout section afterwards.
     probe = None
-    for attempt in range(3):
-        probe = _run_child("probe", deadline, 300, [])
-        if probe:
-            break
-        if attempt < 2 and time.monotonic() < deadline - 120:
-            time.sleep(15 * (attempt + 1))
+    attempt = 0
+    while probe is None and time.monotonic() < deadline - 420:
+        probe = _run_child("probe", deadline, 240, [])
+        if probe is None:
+            attempt += 1
+            print(f"# probe attempt {attempt} failed; retrying while budget lasts")
+            time.sleep(min(30, max(0, deadline - time.monotonic() - 420)))
     if not probe:
         print("# backend probe failed after retries; emitting null metrics")
 
