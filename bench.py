@@ -81,6 +81,20 @@ def _sync(x) -> float:
     return float(np.asarray(x).sum())
 
 
+def _bf16_params(params):
+    """Inference-cast f32 params to bf16: bf16 x bf16 is the MXU's fast
+    path, and with f32 params every matmul silently promotes to f32.
+    Sampling logits are explicitly upcast to f32 inside the decode loop,
+    so rollout quality semantics are unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params,
+    )
+
+
 # ----------------------------------------------------------------------
 # Sections (run in child subprocesses; each prints `RESULT {json}`).
 # ----------------------------------------------------------------------
@@ -113,6 +127,7 @@ def section_rollout(num_frames: int, steps_per_frame: int, repeats: int) -> dict
     params = jax.jit(
         lambda k: model.init(k, video, k, method=model.init_full)
     )(key)["params"]
+    params = _bf16_params(params)
 
     actions = jnp.zeros((1, num_frames + 1), jnp.int32)
 
@@ -149,6 +164,7 @@ def section_tokenizer(repeats: int) -> dict:
     key = jax.random.PRNGKey(0)
     # init via the full forward so encoder AND decoder params exist.
     params = jax.jit(lambda k: tok.init(k, video, train=False))(key)
+    params = _bf16_params(params)
 
     @jax.jit
     def roundtrip(params, video):

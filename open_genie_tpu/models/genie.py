@@ -157,7 +157,9 @@ class Genie(nn.Module):
         b, t0, h, w = tokens.shape
         total = t0 + num_frames
         schedule = jnp.asarray(get_schedule(steps_per_frame, (h, w), which))
-        cache = self.dynamics_.init_cache(b, h, w, total)
+        cache = self.dynamics_.init_cache(
+            b, h, w, total, dtype=self._decode_dtype()
+        )
 
         # Prefill: commit each prompt frame into the caches.
         def prefill(cache, inp):
@@ -199,6 +201,15 @@ class Genie(nn.Module):
             gen_frame, (buf, cache), (jnp.arange(num_frames), frame_keys)
         )
         return buf
+
+    def _decode_dtype(self):
+        """Decode-cache dtype follows the dynamics params' dtype: bf16-cast
+        inference params mean bf16 activations, so bf16 caches halve the
+        KV HBM traffic; f32 params keep f32 caches."""
+        try:
+            return self.dynamics_.variables["params"]["tok_emb"]["embedding"].dtype
+        except Exception:  # during init the param tree may not exist yet
+            return jnp.float32
 
     def _refine_frame(
         self, cache, tgt, act_t, key, schedule, temp, bhw, dtype
@@ -253,7 +264,9 @@ class Genie(nn.Module):
         b, t0, h, w = tokens.shape
         if actions is None:
             actions = jnp.zeros((b, t0), jnp.int32)
-        cache = self.dynamics_.init_cache(b, h, w, t0 + max_frames)
+        cache = self.dynamics_.init_cache(
+            b, h, w, t0 + max_frames, dtype=self._decode_dtype()
+        )
 
         def prefill(cache, inp):
             pos, frame, act = inp

@@ -409,7 +409,10 @@ class SpaceTimeAttention(nn.Module):
                 [cache["ffn"].astype(video.dtype), video], axis=1
             )
             ffn = ffn_mod(window, train=train, time_valid=True)
-            new_ffn = window[:, 1:]
+            # Keep the cache's dtype stable across steps: the rollout scan
+            # carries it, and a bf16 compute dtype must not silently
+            # narrow (or widen) an f32 (or bf16) cache.
+            new_ffn = window[:, 1:].astype(cache["ffn"].dtype)
         else:
             ffn = ffn_mod(video, train=train)
         if time_hid != d_out:

@@ -97,6 +97,23 @@ def test_maskgit_schedule_matches_reference(which, steps):
     assert got.sum() == 16 * 16
 
 
+@pytest.mark.parametrize("kind", ["1d", "2d", "const"])
+@pytest.mark.parametrize("offset", [0, 3])
+def test_rope_matches_reference(kind, offset):
+    """RoPE rotation parity per frequency kind and position offset
+    (`reference attention.py:17-103`)."""
+    from open_genie_tpu.ops.rope import apply_rope, rope_frequencies
+
+    x = jnp.asarray(fixtures["rope/input"])
+    num_freq = 1 if kind == "const" else None
+    freq = rope_frequencies(8, kind=kind, num_freq=1)
+    got = apply_rope(x, freq, offset=offset)
+    key = f"rope/{kind}/out" + ("_off3" if offset else "")
+    np.testing.assert_allclose(
+        np.asarray(got), fixtures[key], rtol=1e-4, atol=2e-5
+    )
+
+
 # Mirrors tools/gen_golden_fixtures.py::vgg_random_state_dict (same seed,
 # same construction) -- the fixture ships activations only, the weights are
 # deterministically re-derivable on both sides.

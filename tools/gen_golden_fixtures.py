@@ -230,6 +230,23 @@ with torch.no_grad():
 data["vgg/seed"] = np.int64(VGG_SEED)
 
 
+# ------------------------------------------------------------------ #
+# 6. RoPE: RotaryEmbedding outputs per kind/offset
+# ------------------------------------------------------------------ #
+from genie.module.attention import RotaryEmbedding  # noqa: E402
+
+D_ROPE = 8
+x_rope = rng.standard_normal((2, 6, D_ROPE)).astype(np.float32)
+data["rope/input"] = x_rope
+for kind in ("1d", "2d", "const"):
+    rot = RotaryEmbedding(D_ROPE, kind=kind)
+    with torch.no_grad():
+        data[f"rope/{kind}/out"] = rot(torch.from_numpy(x_rope)).numpy()
+        data[f"rope/{kind}/out_off3"] = rot(
+            torch.from_numpy(x_rope), offset=3
+        ).numpy()
+
+
 os.makedirs(os.path.dirname(OUT), exist_ok=True)
 np.savez_compressed(OUT, **data)
 print(f"wrote {OUT}: {len(data)} arrays")
