@@ -97,7 +97,7 @@ def test_data_parallel_rollout():
 
 def test_psum_over_data_axis():
     """Collectives ride the mesh: manual shard_map reduction sanity check."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = make_mesh()
     x = jnp.arange(8.0)
