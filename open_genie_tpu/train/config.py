@@ -194,11 +194,21 @@ class DataConfig:
     @classmethod
     def from_raw(cls, raw: dict) -> "DataConfig":
         raw = dict(raw or {})
-        known = {
-            f.name: raw[f.name]
-            for f in dataclasses.fields(cls)
-            if f.name in raw
-        }
+        # `size: N` is accepted as shorthand for square height/width
+        # (mirrors `cli make-data --size`).
+        if "size" in raw:
+            size = int(raw.pop("size"))
+            raw.setdefault("height", size)
+            raw.setdefault("width", size)
+        field_names = {f.name for f in dataclasses.fields(cls)}
+        known = {k: raw[k] for k in field_names if k in raw}
+        # Reference Lightning YAMLs carry loader knobs this pipeline does
+        # not need (pin_memory, sampler, ...); tolerate those but warn so a
+        # misspelled key is not silently ignored (a wrong `height` would
+        # otherwise surface as an opaque init-vs-batch shape error).
+        unknown = sorted(set(raw) - field_names)
+        if unknown:
+            print(f"[config] ignoring unknown data keys: {unknown}")
         return cls(**known)
 
 

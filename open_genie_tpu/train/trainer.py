@@ -80,6 +80,25 @@ def build_dataset(cfg, split: str = "train") -> object:
     )
 
 
+def _sample_batch_shape(dataset, cfg) -> tuple:
+    """Init-sample shape `(B, T, H, W, C)` from a REAL dataset item.
+
+    File-backed sources (platformer mp4 trees, gvid, kinetics) yield
+    whatever resolution is on disk; trusting `cfg.height/width` there turns
+    a config mismatch into an opaque flax param-shape error on the first
+    training batch. Synthetic sources honor the config, so the fallback
+    only fires when the dataset cannot be peeked."""
+    try:
+        item = dataset[0]
+        t, h, w, c = item.shape[-4:]
+        return (cfg.data.batch_size, t, h, w, c)
+    except Exception:
+        return (
+            cfg.data.batch_size, cfg.data.num_frames,
+            cfg.data.height, cfg.data.width, 3,
+        )
+
+
 def build_loader(cfg, dataset, mesh, tcfg, split: str = "train"):
     """Batch loader for a dataset: the C++ prefetcher for .gvid sources
     (`data/native.py`), threaded Python decode otherwise.
@@ -179,11 +198,7 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     loader = build_loader(cfg, dataset, mesh, tcfg)
 
     key = jax.random.PRNGKey(tcfg.seed)
-    sample = jnp.zeros(
-        (cfg.data.batch_size, cfg.data.num_frames, cfg.data.height,
-         cfg.data.width, 3),
-        jnp.float32,
-    )
+    sample = jnp.zeros(_sample_batch_shape(dataset, cfg), jnp.float32)
     state = create_train_state(
         module, sample, key,
         optimizer := make_optimizer(
@@ -285,11 +300,7 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     loader = build_loader(cfg, dataset, mesh, tcfg)
 
     key = jax.random.PRNGKey(tcfg.seed)
-    sample = jnp.zeros(
-        (cfg.data.batch_size, cfg.data.num_frames, cfg.data.height,
-         cfg.data.width, 3),
-        jnp.float32,
-    )
+    sample = jnp.zeros(_sample_batch_shape(dataset, cfg), jnp.float32)
     state = create_train_state(
         module, sample, key, make_optimizer(lr=mcfg.optimizer.lr),
         init_kwargs={"method": module.full_init},
