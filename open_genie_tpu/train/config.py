@@ -66,6 +66,16 @@ class OptimizerConfig:
     b1: float = 0.9
     b2: float = 0.999
     grad_clip: Optional[float] = 1.0
+    # LR schedule (the reference trains at constant LR,
+    # `config/tokenize.yaml:49-53`; these are production additions):
+    # 'constant' | 'cosine' | 'linear', with linear warmup from 0.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: Optional[int] = None  # required for cosine/linear
+    end_lr_scale: float = 0.0          # final LR = lr * end_lr_scale
+    # Exponential moving average of params (None = off); the EMA tree
+    # rides inside the optimizer state (checkpointed automatically).
+    ema_decay: Optional[float] = None
 
     @classmethod
     def from_raw(cls, raw) -> "OptimizerConfig":
@@ -79,6 +89,35 @@ class OptimizerConfig:
                 weight_decay=float(args.get("weight_decay", 0.01)),
             )
         return cls(**{k: v for k, v in raw.items() if k in cls.__dataclass_fields__})
+
+    def schedule(self):
+        """Resolve to a float (constant) or an optax schedule."""
+        import optax
+
+        if self.lr_schedule == "constant" and not self.warmup_steps:
+            return self.lr
+        if self.lr_schedule == "constant":
+            return optax.schedules.warmup_constant_schedule(
+                0.0, self.lr, self.warmup_steps
+            )
+        if self.decay_steps is None:
+            raise ValueError(
+                f"lr_schedule={self.lr_schedule!r} requires decay_steps"
+            )
+        end = self.lr * self.end_lr_scale
+        if self.lr_schedule == "cosine":
+            return optax.schedules.warmup_cosine_decay_schedule(
+                0.0, self.lr, self.warmup_steps, self.decay_steps, end
+            )
+        if self.lr_schedule == "linear":
+            warm = optax.schedules.linear_schedule(0.0, self.lr, self.warmup_steps)
+            decay = optax.schedules.linear_schedule(
+                self.lr, end, self.decay_steps - self.warmup_steps
+            )
+            return optax.schedules.join_schedules(
+                [warm, decay], [self.warmup_steps]
+            )
+        raise ValueError(f"Unknown lr_schedule: {self.lr_schedule!r}")
 
 
 @dataclass

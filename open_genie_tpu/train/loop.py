@@ -39,10 +39,18 @@ def make_optimizer(
     b2: float = 0.999,
     grad_clip: Optional[float] = 1.0,
     frozen_mask: Optional[Any] = None,
+    ema_decay: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """AdamW matching the reference optimizer config
-    (`config/tokenize.yaml:49-53`), plus gradient clipping and an optional
-    trainable-mask (True = train, False = frozen)."""
+    (`config/tokenize.yaml:49-53`), plus gradient clipping, an optional
+    trainable-mask (True = train, False = frozen), and an optional
+    parameter EMA.
+
+    `lr` may be a float or an optax schedule (see
+    `OptimizerConfig.schedule()`). The EMA rides in the optimizer state
+    (`EmaState`), so it is checkpointed/restored with no train-state
+    schema change; read it back with `get_ema_params(opt_state)`.
+    """
     chain = []
     if grad_clip:
         chain.append(optax.clip_by_global_norm(grad_clip))
@@ -55,7 +63,55 @@ def make_optimizer(
                 lambda t: "train" if t else "freeze", frozen_mask
             ),
         )
+    if ema_decay is not None:
+        # After multi_transform so frozen params' EMA stays at their
+        # (constant) value instead of never initializing.
+        tx = optax.chain(tx, _params_ema(ema_decay))
     return tx
+
+
+class EmaState(struct.PyTreeNode):
+    ema: Any
+
+
+def _params_ema(decay: float) -> optax.GradientTransformation:
+    """Maintain `ema = decay * ema + (1 - decay) * new_params` as a
+    final link in the update chain (updates pass through unchanged)."""
+
+    def init(params):
+        # jnp.copy, not asarray: the EMA must own distinct buffers, or
+        # donating the train state hands XLA the same buffer twice
+        # (params and ema aliased) and Execute() rejects it.
+        return EmaState(ema=jax.tree.map(jnp.copy, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("params EMA requires update(..., params=...)")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.ema, new_params,
+        )
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state) -> Optional[Any]:
+    """Extract the EMA param tree from an optimizer state (None if the
+    optimizer was built without `ema_decay`)."""
+    found = []
+
+    def visit(node):
+        if isinstance(node, EmaState):
+            found.append(node.ema)
+            return
+        if isinstance(node, (tuple, list)):
+            for child in node:
+                visit(child)
+
+    visit(opt_state)
+    return found[0] if found else None
 
 
 def create_train_state(

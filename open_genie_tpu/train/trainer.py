@@ -153,6 +153,18 @@ def build_loader(cfg, dataset, mesh, tcfg, split: str = "train"):
     )
 
 
+def _opt_kwargs(ocfg) -> dict:
+    """OptimizerConfig -> make_optimizer kwargs (schedule resolved)."""
+    return dict(
+        lr=ocfg.schedule(),
+        weight_decay=ocfg.weight_decay,
+        b1=ocfg.b1,
+        b2=ocfg.b2,
+        grad_clip=ocfg.grad_clip,
+        ema_decay=ocfg.ema_decay,
+    )
+
+
 def _make_val_fn(module, compute_dtype, loss_kwargs=None):
     """Jitted no-update eval step returning the loss metrics."""
     import functools
@@ -202,10 +214,7 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     state = create_train_state(
         module, sample, key,
         optimizer := make_optimizer(
-            lr=mcfg.optimizer.lr,
-            weight_decay=mcfg.optimizer.weight_decay,
-            grad_clip=mcfg.optimizer.grad_clip,
-            frozen_mask=None,
+            **_opt_kwargs(mcfg.optimizer), frozen_mask=None,
         ),
     )
     # Pretrained perceptual weights: converted torchvision VGG16
@@ -233,10 +242,7 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     if mcfg.perc_loss_weight > 0:
         mask = frozen_param_mask(state.params, ("perc_crit",))
         optimizer = make_optimizer(
-            lr=mcfg.optimizer.lr,
-            weight_decay=mcfg.optimizer.weight_decay,
-            grad_clip=mcfg.optimizer.grad_clip,
-            frozen_mask=mask,
+            **_opt_kwargs(mcfg.optimizer), frozen_mask=mask,
         )
         state = state.replace(opt_state=optimizer.init(state.params))
 
@@ -302,7 +308,8 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     key = jax.random.PRNGKey(tcfg.seed)
     sample = jnp.zeros(_sample_batch_shape(dataset, cfg), jnp.float32)
     state = create_train_state(
-        module, sample, key, make_optimizer(lr=mcfg.optimizer.lr),
+        module, sample, key,
+        make_optimizer(**_opt_kwargs(mcfg.optimizer)),
         init_kwargs={"method": module.full_init},
     )
 
@@ -311,10 +318,7 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         state = _load_tokenizer_into_genie(state, mcfg.tokenizer_ckpt)
     mask = frozen_param_mask(state.params, ("model/tokenizer_",))
     optimizer = make_optimizer(
-        lr=mcfg.optimizer.lr,
-        weight_decay=mcfg.optimizer.weight_decay,
-        grad_clip=mcfg.optimizer.grad_clip,
-        frozen_mask=mask,
+        **_opt_kwargs(mcfg.optimizer), frozen_mask=mask,
     )
     state = state.replace(opt_state=optimizer.init(state.params))
 

@@ -230,3 +230,60 @@ def test_synthetic_video_deterministic():
     ds = SyntheticVideo(num_videos=2, num_frames=3, height=8, width=8, seed=7)
     np.testing.assert_array_equal(ds[0], ds[0])
     assert not np.array_equal(ds[0], ds[1])
+
+
+def test_lr_schedule_and_param_ema():
+    """Warmup-cosine schedule resolves and steps; param EMA rides in the
+    optimizer state and tracks `decay*ema + (1-decay)*params`."""
+    import optax
+
+    from open_genie_tpu.train.config import OptimizerConfig
+    from open_genie_tpu.train.loop import get_ema_params
+
+    ocfg = OptimizerConfig(
+        lr=1e-2, lr_schedule="cosine", warmup_steps=2, decay_steps=10,
+        ema_decay=0.5,
+    )
+    sched = ocfg.schedule()
+    assert float(sched(0)) == 0.0          # warmup starts at zero
+    assert float(sched(2)) == pytest.approx(1e-2)
+    assert float(sched(10)) == pytest.approx(0.0, abs=1e-9)
+
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    tx = make_optimizer(lr=sched, ema_decay=0.5, grad_clip=None)
+    opt_state = tx.init(params)
+    assert jax.tree.all(jax.tree.map(
+        np.allclose, get_ema_params(opt_state), params
+    ))
+
+    grads = {"w": jnp.full((3,), 0.1), "b": jnp.full((2,), 0.1)}
+    p = params
+    manual_ema = params
+    for _ in range(3):
+        updates, opt_state = tx.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        manual_ema = jax.tree.map(
+            lambda e, q: 0.5 * e + 0.5 * q, manual_ema, p
+        )
+    ema = get_ema_params(opt_state)
+    np.testing.assert_allclose(ema["w"], manual_ema["w"], rtol=1e-6)
+    np.testing.assert_allclose(ema["b"], manual_ema["b"], rtol=1e-6)
+
+
+def test_ema_composes_with_frozen_mask():
+    """EMA sits outside multi_transform: frozen params keep constant EMA."""
+    from open_genie_tpu.train.loop import get_ema_params
+
+    params = {"train_me": jnp.ones((2,)), "frozen": jnp.ones((2,))}
+    mask = {"train_me": True, "frozen": False}
+    tx = make_optimizer(lr=0.1, frozen_mask=mask, ema_decay=0.9, grad_clip=None)
+    opt_state = tx.init(params)
+    grads = {"train_me": jnp.ones((2,)), "frozen": jnp.ones((2,))}
+    import optax
+
+    updates, opt_state = tx.update(grads, opt_state, params)
+    new_p = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(new_p["frozen"], params["frozen"])
+    ema = get_ema_params(opt_state)
+    np.testing.assert_allclose(ema["frozen"], params["frozen"])
+    assert not np.allclose(ema["train_me"], params["train_me"])
