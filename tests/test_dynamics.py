@@ -97,3 +97,59 @@ def test_schedule_sums_to_grid(which):
         assert s.sum() == shape[0] * shape[1]
         assert (s >= 1).all() or s[-1] >= 1  # min 1 per step (pre-remainder)
         assert len(s) == steps
+
+
+def test_maskgit_commit_semantics():
+    """Commits exactly `num_tokens` highest-confidence masked positions,
+    never touches unmasked ones, and sampled ids come from the logits'
+    categorical draw."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.models.dynamics import maskgit_commit
+
+    b, hw, v = 2, 12, 7
+    key = jax.random.PRNGKey(3)
+    logits = jax.random.normal(key, (b, hw, v)) * 4.0
+    mask = jnp.ones((b, hw), bool).at[:, :3].set(False)  # 3 already committed
+    code = jnp.full((b, hw), 5, jnp.int32)
+
+    num = 4
+    new_mask, new_code = jax.jit(
+        lambda k, l, m, c: maskgit_commit(k, l, m, c, num)
+    )(key, logits, mask, code)
+
+    committed = mask & ~new_mask
+    assert int(committed.sum(axis=-1)[0]) == num
+    assert int(committed.sum(axis=-1)[1]) == num
+    # unmasked positions unchanged (still mask=False, code untouched)
+    assert not bool(new_mask[:, :3].any())
+    assert (new_code[:, :3] == 5).all()
+    # newly committed codes are valid vocab ids
+    assert int(new_code[committed].min()) >= 0
+    assert int(new_code[committed].max()) < v
+
+    # committing hw tokens finishes the frame
+    m2, c2 = maskgit_commit(key, logits, mask, code, hw)
+    assert not bool(m2.any())
+
+
+def test_maskgit_commit_prefers_confident_positions():
+    """With one overwhelmingly confident masked position, a 1-token commit
+    picks it."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.models.dynamics import maskgit_commit
+
+    b, hw, v = 1, 8, 4
+    logits = jnp.zeros((b, hw, v))
+    logits = logits.at[0, 5, 2].set(50.0)  # position 5 is near-certain
+    mask = jnp.ones((b, hw), bool)
+    code = jnp.zeros((b, hw), jnp.int32)
+    new_mask, new_code = maskgit_commit(
+        jax.random.PRNGKey(0), logits, mask, code, 1
+    )
+    assert not bool(new_mask[0, 5])
+    assert int(new_code[0, 5]) == 2
+    assert int((~new_mask).sum()) == 1
