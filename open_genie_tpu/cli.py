@@ -157,6 +157,65 @@ def _play(args):
     print(f"wrote {video.shape[0]} frames to {args.out}")
 
 
+def _eval(args):
+    """Score a tokenizer checkpoint: PSNR / SSIM / codebook health."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.eval import evaluate_tokenizer
+    from open_genie_tpu.models.tokenizer import VideoTokenizer
+    from open_genie_tpu.train.config import load_config
+    from open_genie_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        restore_params,
+    )
+    from open_genie_tpu.train.losses import TokenizerTrainModule
+    from open_genie_tpu.train.trainer import (
+        _sample_batch_shape,
+        build_dataset,
+        build_loader,
+    )
+    from open_genie_tpu.parallel.mesh import make_mesh
+
+    cfg = load_config(args.config, kind="tokenizer")
+    mcfg = cfg.model
+    # Template through the TRAIN module so the param tree matches training
+    # checkpoints exactly; eval then uses only the `model` subtree.
+    module = TokenizerTrainModule(
+        tokenizer=mcfg.tokenizer_kwargs(),
+        disc_kwargs=mcfg.disc_kwargs,
+        perceptual_model=mcfg.perceptual_model,
+        perc_feat_layers=tuple(mcfg.perc_feat_layers),
+        gan_discriminate=mcfg.gan_discriminate,
+        gan_frames_per_batch=mcfg.gan_frames_per_batch,
+        gan_loss_weight=mcfg.gan_loss_weight,
+        perc_loss_weight=mcfg.perc_loss_weight,
+        quant_loss_weight=mcfg.quant_loss_weight,
+    )
+
+    dataset = build_dataset(cfg.data, split=args.split)
+    mesh = make_mesh(n_data=1, n_model=1)
+    loader = build_loader(cfg, dataset, mesh, cfg.trainer, split=args.split)
+
+    key = jax.random.PRNGKey(cfg.trainer.seed)
+    sample = jnp.zeros(_sample_batch_shape(dataset, cfg), jnp.float32)
+    state = create_train_state(module, sample, key, make_optimizer())
+    params = state.params
+    if args.ckpt:
+        params, step = restore_params(args.ckpt, params)
+        print(f"# restored checkpoint step {step} from {args.ckpt}")
+
+    tokenizer = VideoTokenizer(**mcfg.tokenizer_kwargs())
+    report = evaluate_tokenizer(
+        tokenizer, {"params": params["model"]}, loader,
+        max_batches=args.max_batches,
+    )
+    print(json.dumps({k: round(float(v), 5) for k, v in report.items()}))
+
+
 def _make_data(args):
     import numpy as np
 
@@ -254,6 +313,15 @@ def main(argv=None):
     pp.add_argument("--seed", type=int, default=0)
     pp.add_argument("--out", default="session.mp4")
     pp.set_defaults(fn=_play)
+
+    pe = sub.add_parser(
+        "eval", help="score a tokenizer checkpoint (PSNR/SSIM/codebook)"
+    )
+    pe.add_argument("--config", required=True)
+    pe.add_argument("--ckpt", default=None)
+    pe.add_argument("--split", default="val")
+    pe.add_argument("--max-batches", dest="max_batches", type=int, default=16)
+    pe.set_defaults(fn=_eval)
 
     pd = sub.add_parser("make-data", help="generate an mp4 dataset")
     pd.add_argument("--root", required=True)

@@ -1,0 +1,151 @@
+"""Evaluation metrics and reconstruction-quality harness.
+
+The reference ships no evaluation at all (its README roadmap item "Show
+some results" is unchecked, `/root/reference/README.md:273-274`); a world-
+model framework needs one. This module provides the standard video-
+reconstruction metrics (PSNR, SSIM) plus LFQ codebook-health statistics
+(usage, perplexity), all jittable channels-last `(B, T, H, W, C)` ops, and
+an `evaluate_tokenizer` harness that scores a checkpoint over a dataset.
+
+CLI: `python -m open_genie_tpu.cli eval --config ... --ckpt ...`.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def psnr(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0) -> jnp.ndarray:
+    """Peak signal-to-noise ratio in dB, one value per leading-axis item.
+
+    Accepts `(B, ...)` arrays; the MSE reduces over all trailing axes.
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    axes = tuple(range(1, pred.ndim))
+    mse = jnp.mean((pred - target) ** 2, axis=axes)
+    return 10.0 * jnp.log10((max_val**2) / jnp.maximum(mse, 1e-10))
+
+
+def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _ssim_blur(x: jnp.ndarray, size: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian filter over H, W of `(N, H, W, C)`, VALID."""
+    c = x.shape[-1]
+    k = jnp.asarray(_gaussian_kernel(size, sigma), x.dtype)
+    kh = jnp.tile(k.reshape(size, 1, 1, 1), (1, 1, 1, c))
+    kw = jnp.tile(k.reshape(1, size, 1, 1), (1, 1, 1, c))
+    dn = ("NHWC", "HWIO", "NHWC")
+    x = lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+    return lax.conv_general_dilated(
+        x, kw, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=c
+    )
+
+
+def ssim(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    max_val: float = 1.0,
+    window: int = 11,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Structural similarity (Wang et al. 2004), one value per item.
+
+    Video `(B, T, H, W, C)` is scored frame-wise and averaged over T; image
+    batches `(B, H, W, C)` work directly. Gaussian 11x11 window, the
+    standard C1/C2 stabilizers, channels averaged.
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    batch = pred.shape[0]
+    if pred.ndim == 5:
+        pred = pred.reshape((-1,) + pred.shape[2:])
+        target = target.reshape((-1,) + target.shape[2:])
+
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+    mu_p = _ssim_blur(pred, window, sigma)
+    mu_t = _ssim_blur(target, window, sigma)
+    mu_pp = mu_p * mu_p
+    mu_tt = mu_t * mu_t
+    mu_pt = mu_p * mu_t
+    var_p = _ssim_blur(pred * pred, window, sigma) - mu_pp
+    var_t = _ssim_blur(target * target, window, sigma) - mu_tt
+    cov = _ssim_blur(pred * target, window, sigma) - mu_pt
+
+    score = ((2 * mu_pt + c1) * (2 * cov + c2)) / (
+        (mu_pp + mu_tt + c1) * (var_p + var_t + c2)
+    )
+    per_frame = score.mean(axis=(1, 2, 3))
+    return per_frame.reshape(batch, -1).mean(axis=1)
+
+
+def codebook_stats(idxs: jnp.ndarray, vocab: int) -> Dict[str, jnp.ndarray]:
+    """LFQ codebook health from a batch of token indices.
+
+    Returns usage (fraction of the vocab hit at least once), perplexity of
+    the empirical code distribution (`exp(H)`; `vocab` when uniform), and
+    entropy in bits. A collapsing codebook shows up as perplexity << vocab
+    long before reconstructions visibly degrade.
+    """
+    counts = jnp.bincount(idxs.reshape(-1), length=vocab)
+    total = jnp.maximum(counts.sum(), 1)
+    p = counts / total
+    logp = jnp.where(p > 0, jnp.log(jnp.maximum(p, 1e-30)), 0.0)
+    entropy = -(p * logp).sum()
+    return {
+        "usage": (counts > 0).mean(),
+        "perplexity": jnp.exp(entropy),
+        "entropy_bits": entropy / jnp.log(2.0),
+    }
+
+
+def evaluate_tokenizer(
+    tokenizer,
+    params,
+    loader,
+    max_batches: Optional[int] = None,
+) -> Dict[str, float]:
+    """Score a VideoTokenizer checkpoint over a data loader.
+
+    Runs tokenize -> decode on each batch and aggregates PSNR / SSIM /
+    reconstruction MSE / codebook stats. One jitted program, re-used
+    across batches (static shapes from the loader).
+    """
+
+    @jax.jit
+    def batch_metrics(params, video):
+        _, idxs = tokenizer.apply(params, video, method=tokenizer.tokenize)
+        rec = tokenizer.apply(params, idxs, method=tokenizer.decode_tokens)
+        rec = jnp.clip(rec, 0.0, 1.0)
+        stats = codebook_stats(idxs, 2**tokenizer.d_codebook)
+        return {
+            "psnr": psnr(rec, video).mean(),
+            "ssim": ssim(rec, video).mean(),
+            "rec_mse": jnp.mean((rec - video) ** 2),
+            **stats,
+        }
+
+    sums: Dict[str, float] = {}
+    n = 0
+    for i, batch in enumerate(loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        video = jnp.asarray(batch)
+        out = jax.device_get(batch_metrics(params, video))
+        for k, v in out.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    if n == 0:
+        raise ValueError("evaluate_tokenizer: loader yielded no batches")
+    return {k: v / n for k, v in sums.items()} | {"num_batches": n}

@@ -1,0 +1,100 @@
+"""Evaluation metrics: PSNR / SSIM / codebook stats / tokenizer harness."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from open_genie_tpu.eval import codebook_stats, evaluate_tokenizer, psnr, ssim
+
+
+def test_psnr_exact_value():
+    a = jnp.zeros((2, 4, 8, 8, 3))
+    b = jnp.full((2, 4, 8, 8, 3), 0.1)
+    out = psnr(a, b)
+    assert out.shape == (2,)
+    np.testing.assert_allclose(out, 10 * np.log10(1.0 / 0.01), rtol=1e-5)
+
+
+def test_psnr_identity_is_capped_high():
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 2, 8, 8, 3))
+    assert float(psnr(x, x)[0]) >= 90.0
+
+
+def test_ssim_identity_and_ordering():
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 3, 24, 24, 3))
+    assert np.allclose(ssim(x, x), 1.0, atol=1e-5)
+
+    small = jnp.clip(x + 0.02 * jax.random.normal(key, x.shape), 0, 1)
+    large = jnp.clip(x + 0.3 * jax.random.normal(key, x.shape), 0, 1)
+    s_small, s_large = float(ssim(x, small).mean()), float(ssim(x, large).mean())
+    assert 0.0 < s_large < s_small < 1.0
+
+
+def test_ssim_image_batch_shape():
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 16, 16, 1))
+    assert ssim(x, x).shape == (3,)
+
+
+def test_codebook_stats_uniform_and_collapsed():
+    vocab = 16
+    uniform = jnp.tile(jnp.arange(vocab), 8)
+    s = jax.device_get(codebook_stats(uniform, vocab))
+    assert s["usage"] == pytest.approx(1.0)
+    assert s["perplexity"] == pytest.approx(vocab, rel=1e-4)
+    assert s["entropy_bits"] == pytest.approx(4.0, rel=1e-4)
+
+    collapsed = jnp.zeros(128, jnp.int32)
+    s = jax.device_get(codebook_stats(collapsed, vocab))
+    assert s["usage"] == pytest.approx(1 / vocab)
+    assert s["perplexity"] == pytest.approx(1.0, rel=1e-4)
+
+
+def test_evaluate_tokenizer_smoke():
+    from open_genie_tpu.models.tokenizer import VideoTokenizer
+
+    tok = VideoTokenizer(
+        enc_desc=(
+            ("spacetime_downsample", {
+                "in_channels": 3, "kernel_size": 3, "out_channels": 16,
+                "time_factor": 1, "space_factor": 2,
+            }),
+            ("causal-conv3d", {"in_channels": 16, "out_channels": 6,
+                               "kernel_size": 1}),
+        ),
+        dec_desc=(
+            ("causal-conv3d", {"in_channels": 6, "out_channels": 16,
+                               "kernel_size": 3}),
+            ("depth2spacetime_upsample", {
+                "in_channels": 16, "out_channels": 3, "kernel_size": 3,
+                "time_factor": 1, "space_factor": 2,
+            }),
+        ),
+        d_codebook=6,
+    )
+    video = jnp.zeros((1, 2, 16, 16, 3))
+    params = jax.jit(lambda k: tok.init(k, video, train=False))(
+        jax.random.PRNGKey(0)
+    )
+
+    batches = [np.random.default_rng(i).uniform(size=(1, 2, 16, 16, 3))
+               .astype(np.float32) for i in range(3)]
+    report = evaluate_tokenizer(tok, params, batches, max_batches=2)
+    assert report["num_batches"] == 2
+    for k in ("psnr", "ssim", "rec_mse", "usage", "perplexity"):
+        assert np.isfinite(report[k]), k
+    assert -1.0 <= report["ssim"] <= 1.0
+
+
+def test_evaluate_tokenizer_empty_loader_raises():
+    from open_genie_tpu.models.tokenizer import VideoTokenizer
+
+    tok = VideoTokenizer(
+        enc_desc=(("causal-conv3d", {"in_channels": 3, "out_channels": 4,
+                                     "kernel_size": 1}),),
+        dec_desc=(("causal-conv3d", {"in_channels": 4, "out_channels": 3,
+                                     "kernel_size": 1}),),
+        d_codebook=4,
+    )
+    with pytest.raises(ValueError):
+        evaluate_tokenizer(tok, {}, [])
