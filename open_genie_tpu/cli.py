@@ -158,13 +158,14 @@ def _play(args):
 
 
 def _eval(args):
-    """Score a tokenizer checkpoint: PSNR / SSIM / codebook health."""
+    """Score a checkpoint: tokenizer PSNR/SSIM/codebook health, or genie
+    validation metrics (joint loss, masked accuracy, action-code usage)."""
     import json
 
     import jax
     import jax.numpy as jnp
 
-    from open_genie_tpu.eval import evaluate_tokenizer
+    from open_genie_tpu.eval import evaluate_genie, evaluate_tokenizer
     from open_genie_tpu.models.tokenizer import VideoTokenizer
     from open_genie_tpu.train.config import load_config
     from open_genie_tpu.train.loop import (
@@ -179,6 +180,10 @@ def _eval(args):
         build_loader,
     )
     from open_genie_tpu.parallel.mesh import make_mesh
+
+    if args.what == "genie":
+        _eval_genie(args)
+        return
 
     cfg = load_config(args.config, kind="tokenizer")
     mcfg = cfg.model
@@ -212,6 +217,57 @@ def _eval(args):
     report = evaluate_tokenizer(
         tokenizer, {"params": params["model"]}, loader,
         max_batches=args.max_batches,
+    )
+    print(json.dumps({k: round(float(v), 5) for k, v in report.items()}))
+
+
+def _eval_genie(args):
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.eval import evaluate_genie
+    from open_genie_tpu.models.genie import Genie
+    from open_genie_tpu.train.config import load_config
+    from open_genie_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        restore_params,
+    )
+    from open_genie_tpu.train.losses import GenieTrainModule
+    from open_genie_tpu.train.trainer import (
+        _sample_batch_shape,
+        build_dataset,
+        build_loader,
+    )
+    from open_genie_tpu.parallel.mesh import make_mesh
+
+    cfg = load_config(args.config, kind="genie")
+    genie_kwargs = dict(
+        tokenizer=cfg.model.tokenizer,
+        latent_action=cfg.model.latent_action,
+        dynamics=cfg.model.dynamics,
+    )
+    module = GenieTrainModule(genie=genie_kwargs)
+    dataset = build_dataset(cfg.data, split=args.split)
+    mesh = make_mesh(n_data=1, n_model=1)
+    loader = build_loader(cfg, dataset, mesh, cfg.trainer, split=args.split)
+
+    key = jax.random.PRNGKey(cfg.trainer.seed)
+    sample = jnp.zeros(_sample_batch_shape(dataset, cfg), jnp.float32)
+    state = create_train_state(
+        module, sample, key, make_optimizer(),
+        init_kwargs={"method": module.full_init},
+    )
+    params = state.params
+    if args.ckpt:
+        params, step = restore_params(args.ckpt, params)
+        print(f"# restored checkpoint step {step} from {args.ckpt}")
+
+    genie = Genie(**genie_kwargs)
+    report = evaluate_genie(
+        genie, params["model"], loader, key, max_batches=args.max_batches
     )
     print(json.dumps({k: round(float(v), 5) for k, v in report.items()}))
 
@@ -315,8 +371,11 @@ def main(argv=None):
     pp.set_defaults(fn=_play)
 
     pe = sub.add_parser(
-        "eval", help="score a tokenizer checkpoint (PSNR/SSIM/codebook)"
+        "eval", help="score a checkpoint (tokenizer PSNR/SSIM/codebook, "
+        "genie val loss/accuracy)"
     )
+    pe.add_argument("what", choices=["tokenizer", "genie"], nargs="?",
+                    default="tokenizer")
     pe.add_argument("--config", required=True)
     pe.add_argument("--ckpt", default=None)
     pe.add_argument("--split", default="val")

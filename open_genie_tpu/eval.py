@@ -110,6 +110,57 @@ def codebook_stats(idxs: jnp.ndarray, vocab: int) -> Dict[str, jnp.ndarray]:
     }
 
 
+def evaluate_genie(
+    genie,
+    params,
+    loader,
+    key: jax.Array,
+    max_batches: Optional[int] = None,
+) -> Dict[str, float]:
+    """Score a Genie checkpoint over a validation loader.
+
+    Aggregates the joint objective's eval-mode metrics (latent-action
+    VQ-VAE loss, dynamics masked CE and accuracy -- the reference's
+    `validation_step` quantities, `genie/genie.py:141-153`) plus
+    action-codebook health (usage/perplexity of the action ids actually
+    emitted, the paper's "do the 8 actions all get used" question).
+    """
+
+    @jax.jit
+    def batch_metrics(params, video, key):
+        loss, aux = genie.apply(
+            {"params": params}, video, key, training=False,
+            method=genie.compute_loss,
+        )
+        act_idxs, _, _ = genie.apply(
+            {"params": params}, video, False,
+            method=lambda m, v, training: m.latent_action_(v, training=training),
+        )
+        act_vocab = 2 ** genie.latent_action.get("d_codebook", 8)
+        stats = codebook_stats(act_idxs, act_vocab)
+        keep = {
+            k: v for k, v in aux.items()
+            if k in ("act_loss", "dyn_loss", "act_rec_loss", "act_q_loss",
+                     "dyn_masked_acc", "dyn_masked_frac")
+        }
+        return {"loss": loss, **keep,
+                **{f"act_code_{k}": v for k, v in stats.items()}}
+
+    sums: Dict[str, float] = {}
+    n = 0
+    for i, batch in enumerate(loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        key, sub = jax.random.split(key)
+        out = jax.device_get(batch_metrics(params, jnp.asarray(batch), sub))
+        for k, v in out.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    if n == 0:
+        raise ValueError("evaluate_genie: loader yielded no batches")
+    return {k: v / n for k, v in sums.items()} | {"num_batches": n}
+
+
 def evaluate_tokenizer(
     tokenizer,
     params,

@@ -86,6 +86,26 @@ def test_evaluate_tokenizer_smoke():
     assert -1.0 <= report["ssim"] <= 1.0
 
 
+def test_evaluate_genie_smoke():
+    from open_genie_tpu.eval import evaluate_genie
+    from tests.test_genie import CFG
+    from open_genie_tpu.models.genie import Genie
+
+    model = Genie(**CFG)
+    video = jnp.zeros((1, 4, 16, 16, 3))
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, video, key, method=model.init_full)["params"]
+
+    batches = [np.random.default_rng(i).uniform(size=(1, 4, 16, 16, 3))
+               .astype(np.float32) for i in range(2)]
+    report = evaluate_genie(model, params, batches, key)
+    assert report["num_batches"] == 2
+    for k in ("loss", "act_loss", "dyn_loss", "dyn_masked_acc",
+              "act_code_usage", "act_code_perplexity"):
+        assert np.isfinite(report[k]), k
+    assert 0.0 < report["act_code_usage"] <= 1.0
+
+
 def test_evaluate_tokenizer_empty_loader_raises():
     from open_genie_tpu.models.tokenizer import VideoTokenizer
 
