@@ -134,6 +134,49 @@ def test_maskgit_commit_semantics():
     assert not bool(m2.any())
 
 
+def test_maskgit_commit_sampling_matches_softmax():
+    """The inverse-CDF draw is distributed as softmax(logits): empirical
+    frequencies over many positions match the analytic probabilities."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_genie_tpu.models.dynamics import maskgit_commit
+
+    v, n = 5, 4096
+    logits_row = jnp.asarray([2.0, 0.0, 1.0, -1.0, 0.5])
+    logits = jnp.tile(logits_row, (1, n, 1))
+    mask = jnp.ones((1, n), bool)
+    code = jnp.zeros((1, n), jnp.int32)
+    # commit everything in one step: code becomes the raw categorical draw
+    _, draws = jax.jit(
+        lambda k: maskgit_commit(k, logits, mask, code, n)
+    )(jax.random.PRNGKey(0))
+
+    freq = np.bincount(np.asarray(draws[0]), minlength=v) / n
+    want = np.asarray(jax.nn.softmax(logits_row))
+    np.testing.assert_allclose(freq, want, atol=0.03)
+
+
+def test_maskgit_commit_temperature_sharpens():
+    """Low temperature concentrates draws on the argmax token."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_genie_tpu.models.dynamics import maskgit_commit
+
+    n = 1024
+    logits = jnp.tile(jnp.asarray([1.0, 0.0, 0.5]), (1, n, 1))
+    mask = jnp.ones((1, n), bool)
+    code = jnp.zeros((1, n), jnp.int32)
+    _, draws = maskgit_commit(
+        jax.random.PRNGKey(1), logits, mask, code, n, temp=0.05
+    )
+    frac_argmax = float((draws[0] == 0).mean())
+    assert frac_argmax > 0.99
+
+
 def test_maskgit_commit_prefers_confident_positions():
     """With one overwhelmingly confident masked position, a 1-token commit
     picks it."""
