@@ -229,13 +229,44 @@ def shard_state(state: TrainState, mesh) -> TrainState:
 # --------------------------------------------------------------------- #
 
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: Optional[int] = None):
-    import orbax.checkpoint as ocp
-    import os
+    """One-shot blocking save (closing the manager waits for the write)."""
+    writer = CheckpointWriter(ckpt_dir)
+    try:
+        writer.save(state, step)
+    finally:
+        writer.close()
 
-    path = os.path.abspath(ckpt_dir)
-    step = int(state.step) if step is None else step
-    with ocp.CheckpointManager(path) as mgr:
-        mgr.save(step, args=ocp.args.StandardSave(flax.serialization.to_state_dict(state)))
+
+class CheckpointWriter:
+    """Persistent async checkpoint writer for training loops.
+
+    orbax's CheckpointManager saves asynchronously by default, but a
+    manager opened per save (the one-shot `save_checkpoint`) must wait for
+    the write before closing -- the train step stalls behind disk I/O.
+    Keeping one manager alive for the whole run makes `save` return after
+    the host snapshot is staged; serialization and the directory commit
+    happen on orbax's background thread while training continues.
+    `close()` drains pending writes (call it before reading the dir)."""
+
+    def __init__(self, ckpt_dir: str):
+        import orbax.checkpoint as ocp
+        import os
+
+        self._dir = os.path.abspath(ckpt_dir)
+        self._mgr = ocp.CheckpointManager(self._dir)
+
+    def save(self, state: TrainState, step: Optional[int] = None) -> None:
+        import orbax.checkpoint as ocp
+
+        step = int(state.step) if step is None else step
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(flax.serialization.to_state_dict(state)),
+        )
+
+    def close(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
 
 
 def restore_params(ckpt_dir: str, params) -> Tuple[Any, int]:

@@ -27,6 +27,7 @@ from open_genie_tpu.train.config import (
     TokenizerModelConfig,
 )
 from open_genie_tpu.train.loop import (
+    CheckpointWriter,
     TrainState,
     create_train_state,
     make_optimizer,
@@ -418,6 +419,10 @@ def _run_loop(
             "empty train loader: dataset smaller than batch_size "
             f"({len(loader.dataset)} < {loader.batch_size})"
         )
+    # Persistent async writers: saves overlap with training (the one-shot
+    # save_checkpoint blocks on the write); closed/drained at loop exit.
+    ckpt_writer = CheckpointWriter(tcfg.ckpt_dir)
+    best_writer = None
     max_steps = tcfg.max_steps or (tcfg.max_epochs * len(loader))
     # Best-checkpoint tracking: ModelCheckpoint(monitor=...) equivalent.
     # Monitor 'val_loss' means the 'loss' key of the validation metrics.
@@ -449,20 +454,24 @@ def _run_loop(
                 logger.log(step, {f"val_{k}": v for k, v in vm.items()})
                 if monitor_key in vm and vm[monitor_key] < best_val:
                     best_val = vm[monitor_key]
-                    save_checkpoint(
-                        os.path.join(tcfg.ckpt_dir, "best"),
-                        jax.device_get(state), step,
-                    )
+                    if best_writer is None:
+                        best_writer = CheckpointWriter(
+                            os.path.join(tcfg.ckpt_dir, "best")
+                        )
+                    best_writer.save(jax.device_get(state), step)
                 if eval_hook is not None:
                     eval_hook(state, step)
                 t0 = time.time()
             if step % tcfg.ckpt_every_n_steps == 0 or (
                 step >= max_steps and getattr(tcfg, "save_last", True)
             ):
-                save_checkpoint(tcfg.ckpt_dir, jax.device_get(state), step)
+                ckpt_writer.save(jax.device_get(state), step)
             if step >= max_steps:
                 done = True
                 break
+    ckpt_writer.close()
+    if best_writer is not None:
+        best_writer.close()
     logger.close()
     return state
 

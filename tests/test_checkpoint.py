@@ -66,6 +66,34 @@ def test_save_restore_roundtrip(tmp_path):
     )
 
 
+def test_async_writer_multiple_saves_restore_latest(tmp_path):
+    """CheckpointWriter: non-blocking saves drain on close; the latest
+    step restores, and restore sees nothing until the writer closes only
+    if the write is still in flight (close() is the barrier)."""
+    from open_genie_tpu.train.loop import CheckpointWriter
+
+    module = TokenizerTrainModule(
+        tokenizer=TOK, gan_loss_weight=0.0, perc_loss_weight=0.0,
+    )
+    sample = jnp.zeros((B, T, H, W, 3))
+    opt = make_optimizer(lr=1e-3)
+    state = jax.device_get(create_train_state(module, sample, KEY, opt))
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    writer = CheckpointWriter(ckpt_dir)
+    writer.save(state, 1)
+    writer.save(state.replace(step=2), 2)
+    writer.close()
+
+    template = create_train_state(module, sample, jax.random.PRNGKey(9), opt)
+    restored, step_no = restore_checkpoint(ckpt_dir, template)
+    assert step_no == 2
+    a = flax.traverse_util.flatten_dict(jax.device_get(state.params))
+    b = flax.traverse_util.flatten_dict(jax.device_get(restored.params))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_restore_missing_returns_step0(tmp_path):
     module = TokenizerTrainModule(
         tokenizer=TOK, gan_loss_weight=0.0, perc_loss_weight=0.0,
