@@ -41,14 +41,10 @@ def _generate(args):
     from open_genie_tpu.train.loop import restore_params
     from open_genie_tpu.train.losses import GenieTrainModule
 
+    from open_genie_tpu.train.trainer import genie_model_kwargs
+
     cfg = load_config(args.config, kind="genie")
-    module = GenieTrainModule(
-        genie=dict(
-            tokenizer=cfg.model.tokenizer,
-            latent_action=cfg.model.latent_action,
-            dynamics=cfg.model.dynamics,
-        )
-    )
+    module = GenieTrainModule(genie=genie_model_kwargs(cfg.model))
     key = jax.random.PRNGKey(args.seed)
     prompt = jnp.asarray(
         SyntheticVideo(num_frames=1, height=args.size, width=args.size)[0]
@@ -103,12 +99,10 @@ def _play(args):
     )
     from open_genie_tpu.train.losses import GenieTrainModule
 
+    from open_genie_tpu.train.trainer import genie_model_kwargs
+
     cfg = load_config(args.config, kind="genie")
-    genie_kwargs = dict(
-        tokenizer=cfg.model.tokenizer,
-        latent_action=cfg.model.latent_action,
-        dynamics=cfg.model.dynamics,
-    )
+    genie_kwargs = genie_model_kwargs(cfg.model)
     module = GenieTrainModule(genie=genie_kwargs)
     key = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((1, 4, args.size, args.size, 3), jnp.float32)
@@ -160,12 +154,16 @@ def _play(args):
 def _eval(args):
     """Score a checkpoint: tokenizer PSNR/SSIM/codebook health, or genie
     validation metrics (joint loss, masked accuracy, action-code usage)."""
+    if args.what == "genie":
+        _eval_genie(args)
+        return
+
     import json
 
     import jax
     import jax.numpy as jnp
 
-    from open_genie_tpu.eval import evaluate_genie, evaluate_tokenizer
+    from open_genie_tpu.eval import evaluate_tokenizer
     from open_genie_tpu.models.tokenizer import VideoTokenizer
     from open_genie_tpu.train.config import load_config
     from open_genie_tpu.train.loop import (
@@ -173,33 +171,19 @@ def _eval(args):
         make_optimizer,
         restore_params,
     )
-    from open_genie_tpu.train.losses import TokenizerTrainModule
     from open_genie_tpu.train.trainer import (
         _sample_batch_shape,
         build_dataset,
         build_loader,
+        build_tokenizer_module,
     )
     from open_genie_tpu.parallel.mesh import make_mesh
-
-    if args.what == "genie":
-        _eval_genie(args)
-        return
 
     cfg = load_config(args.config, kind="tokenizer")
     mcfg = cfg.model
     # Template through the TRAIN module so the param tree matches training
     # checkpoints exactly; eval then uses only the `model` subtree.
-    module = TokenizerTrainModule(
-        tokenizer=mcfg.tokenizer_kwargs(),
-        disc_kwargs=mcfg.disc_kwargs,
-        perceptual_model=mcfg.perceptual_model,
-        perc_feat_layers=tuple(mcfg.perc_feat_layers),
-        gan_discriminate=mcfg.gan_discriminate,
-        gan_frames_per_batch=mcfg.gan_frames_per_batch,
-        gan_loss_weight=mcfg.gan_loss_weight,
-        perc_loss_weight=mcfg.perc_loss_weight,
-        quant_loss_weight=mcfg.quant_loss_weight,
-    )
+    module = build_tokenizer_module(mcfg)
 
     dataset = build_dataset(cfg.data, split=args.split)
     mesh = make_mesh(n_data=1, n_model=1)
@@ -240,15 +224,12 @@ def _eval_genie(args):
         _sample_batch_shape,
         build_dataset,
         build_loader,
+        genie_model_kwargs,
     )
     from open_genie_tpu.parallel.mesh import make_mesh
 
     cfg = load_config(args.config, kind="genie")
-    genie_kwargs = dict(
-        tokenizer=cfg.model.tokenizer,
-        latent_action=cfg.model.latent_action,
-        dynamics=cfg.model.dynamics,
-    )
+    genie_kwargs = genie_model_kwargs(cfg.model)
     module = GenieTrainModule(genie=genie_kwargs)
     dataset = build_dataset(cfg.data, split=args.split)
     mesh = make_mesh(n_data=1, n_model=1)

@@ -130,14 +130,10 @@ def evaluate_genie(
     def batch_metrics(params, video, key):
         loss, aux = genie.apply(
             {"params": params}, video, key, training=False,
-            method=genie.compute_loss,
-        )
-        act_idxs, _, _ = genie.apply(
-            {"params": params}, video, False,
-            method=lambda m, v, training: m.latent_action_(v, training=training),
+            return_act_idxs=True, method=genie.compute_loss,
         )
         act_vocab = 2 ** genie.latent_action.get("d_codebook", 8)
-        stats = codebook_stats(act_idxs, act_vocab)
+        stats = codebook_stats(aux.pop("act_idxs"), act_vocab)
         keep = {
             k: v for k, v in aux.items()
             if k in ("act_loss", "dyn_loss", "act_rec_loss", "act_q_loss",

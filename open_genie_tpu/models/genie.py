@@ -66,11 +66,15 @@ class Genie(nn.Module):
         video: jnp.ndarray,
         key: jax.Array,
         training: bool = True,
+        return_act_idxs: bool = False,
     ) -> Tuple[jnp.ndarray, dict]:
         """Joint latent-action + dynamics loss on raw video (B, T, H, W, C).
 
         The tokenizer is used frozen: its outputs are stop-gradient'd (and
         the train loop additionally masks its params out of the optimizer).
+        `return_act_idxs` adds the per-input-frame action ids to the aux
+        dict (an int array -- eval consumers only; the train loop expects
+        scalar metrics).
         """
         _, tok_idxs = self.tokenizer_.tokenize(video)
         tok_idxs = lax.stop_gradient(tok_idxs)  # (B, T', H', W')
@@ -78,6 +82,7 @@ class Genie(nn.Module):
         act_idxs, act_loss, act_aux = self.latent_action_(
             video, training=training
         )  # (B, T)
+        act_idxs_full = act_idxs
 
         # Align action time axis to the token time axis.
         t_tok = tok_idxs.shape[1]
@@ -91,12 +96,15 @@ class Genie(nn.Module):
         )
 
         loss = act_loss + dyn_loss
-        return loss, {
+        aux = {
             "act_loss": act_loss,
             "dyn_loss": dyn_loss,
             **{f"act_{k}": v for k, v in act_aux.items()},
             **{f"dyn_{k}": v for k, v in dyn_aux.items()},
         }
+        if return_act_idxs:
+            aux["act_idxs"] = act_idxs_full
+        return loss, aux
 
     def init_full(self, video: jnp.ndarray, key: jax.Array):
         """Initialization-only path touching every parameter: the joint

@@ -33,7 +33,6 @@ from open_genie_tpu.train.loop import (
     make_optimizer,
     make_train_step,
     restore_checkpoint,
-    save_checkpoint,
     shard_state,
 )
 from open_genie_tpu.train.losses import (
@@ -189,12 +188,12 @@ def _compute_dtype(precision: str):
     return jnp.bfloat16 if str(precision).startswith("16") else None
 
 
-def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
-    mcfg: TokenizerModelConfig = cfg.model
-    tcfg = cfg.trainer
-    init_distributed()  # multi-host: env-driven, no-op single-process
-
-    module = TokenizerTrainModule(
+def build_tokenizer_module(mcfg: TokenizerModelConfig) -> TokenizerTrainModule:
+    """Single source of the tokenizer train-module construction: training,
+    eval, and CLI checkpoint templates must produce identical param trees
+    (restore merges by template, so a drifted field surfaces as an opaque
+    key/shape error)."""
+    return TokenizerTrainModule(
         tokenizer=mcfg.tokenizer_kwargs(),
         disc_kwargs=mcfg.disc_kwargs,
         perceptual_model=mcfg.perceptual_model,
@@ -205,6 +204,24 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         perc_loss_weight=mcfg.perc_loss_weight,
         quant_loss_weight=mcfg.quant_loss_weight,
     )
+
+
+def genie_model_kwargs(mcfg: GenieModelConfig) -> dict:
+    """The Genie constructor kwargs shared by training, generate, play,
+    and eval (same param-tree-identity requirement as above)."""
+    return dict(
+        tokenizer=mcfg.tokenizer,
+        latent_action=mcfg.latent_action,
+        dynamics=mcfg.dynamics,
+    )
+
+
+def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
+    mcfg: TokenizerModelConfig = cfg.model
+    tcfg = cfg.trainer
+    init_distributed()  # multi-host: env-driven, no-op single-process
+
+    module = build_tokenizer_module(mcfg)
 
     dataset = build_dataset(cfg.data)
     mesh = make_mesh(n_data=tcfg.n_data, n_model=tcfg.n_model)
@@ -294,13 +311,7 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     tcfg = cfg.trainer
     init_distributed()  # multi-host: env-driven, no-op single-process
 
-    module = GenieTrainModule(
-        genie=dict(
-            tokenizer=mcfg.tokenizer,
-            latent_action=mcfg.latent_action,
-            dynamics=mcfg.dynamics,
-        )
-    )
+    module = GenieTrainModule(genie=genie_model_kwargs(mcfg))
 
     dataset = build_dataset(cfg.data)
     mesh = make_mesh(n_data=tcfg.n_data, n_model=tcfg.n_model)
@@ -420,7 +431,8 @@ def _run_loop(
             f"({len(loader.dataset)} < {loader.batch_size})"
         )
     # Persistent async writers: saves overlap with training (the one-shot
-    # save_checkpoint blocks on the write); closed/drained at loop exit.
+    # blocking save would stall the step on disk I/O); drained in the
+    # finally below so an exception mid-loop still commits staged saves.
     ckpt_writer = CheckpointWriter(tcfg.ckpt_dir)
     best_writer = None
     max_steps = tcfg.max_steps or (tcfg.max_epochs * len(loader))
@@ -432,47 +444,49 @@ def _run_loop(
     step = start_step
     t0 = time.time()
     done = False
-    while not done:
-        for batch in loader:
-            state, metrics = step_fn(state, batch)
-            step += 1
-            if step % tcfg.log_every_n_steps == 0:
-                metrics = jax.device_get(metrics)
-                dt = time.time() - t0
-                logger.log(step, {**{k: float(v) for k, v in metrics.items()},
-                                  "steps_per_sec": tcfg.log_every_n_steps / dt})
-                t0 = time.time()
-            if (
-                val_fn is not None
-                and val_loader is not None
-                and tcfg.val_check_interval
-                and step % tcfg.val_check_interval == 0
-            ):
-                vm = _run_validation(
-                    state, val_fn, val_loader, tcfg.limit_val_batches
-                )
-                logger.log(step, {f"val_{k}": v for k, v in vm.items()})
-                if monitor_key in vm and vm[monitor_key] < best_val:
-                    best_val = vm[monitor_key]
-                    if best_writer is None:
-                        best_writer = CheckpointWriter(
-                            os.path.join(tcfg.ckpt_dir, "best")
-                        )
-                    best_writer.save(jax.device_get(state), step)
-                if eval_hook is not None:
-                    eval_hook(state, step)
-                t0 = time.time()
-            if step % tcfg.ckpt_every_n_steps == 0 or (
-                step >= max_steps and getattr(tcfg, "save_last", True)
-            ):
-                ckpt_writer.save(jax.device_get(state), step)
-            if step >= max_steps:
-                done = True
-                break
-    ckpt_writer.close()
-    if best_writer is not None:
-        best_writer.close()
-    logger.close()
+    try:
+        while not done:
+            for batch in loader:
+                state, metrics = step_fn(state, batch)
+                step += 1
+                if step % tcfg.log_every_n_steps == 0:
+                    metrics = jax.device_get(metrics)
+                    dt = time.time() - t0
+                    logger.log(step, {**{k: float(v) for k, v in metrics.items()},
+                                      "steps_per_sec": tcfg.log_every_n_steps / dt})
+                    t0 = time.time()
+                if (
+                    val_fn is not None
+                    and val_loader is not None
+                    and tcfg.val_check_interval
+                    and step % tcfg.val_check_interval == 0
+                ):
+                    vm = _run_validation(
+                        state, val_fn, val_loader, tcfg.limit_val_batches
+                    )
+                    logger.log(step, {f"val_{k}": v for k, v in vm.items()})
+                    if monitor_key in vm and vm[monitor_key] < best_val:
+                        best_val = vm[monitor_key]
+                        if best_writer is None:
+                            best_writer = CheckpointWriter(
+                                os.path.join(tcfg.ckpt_dir, "best")
+                            )
+                        best_writer.save(jax.device_get(state), step)
+                    if eval_hook is not None:
+                        eval_hook(state, step)
+                    t0 = time.time()
+                if step % tcfg.ckpt_every_n_steps == 0 or (
+                    step >= max_steps and getattr(tcfg, "save_last", True)
+                ):
+                    ckpt_writer.save(jax.device_get(state), step)
+                if step >= max_steps:
+                    done = True
+                    break
+    finally:
+        ckpt_writer.close()
+        if best_writer is not None:
+            best_writer.close()
+        logger.close()
     return state
 
 
