@@ -127,17 +127,20 @@ def _play(args):
     frames = [np.asarray(f) for f in sess.reset(np.asarray(prompt), seed=args.seed)[0]]
     print(f"session ready ({args.max_frames}-frame horizon); prompt decoded")
 
+    # Sessions are unbounded (the session rebases its cache window when
+    # the horizon fills), so the scripted/interactive loops have no cap.
     if args.actions:
         script = [int(a) for a in args.actions.split(",")]
-        for i, a in enumerate(script[: args.max_frames]):
+        for i, a in enumerate(script):
             frame = sess.step(a)
             frames.append(np.asarray(frame[0]))
             print(f"[frame {i + 1}] action={a} -> {frame.shape[1:]}")
     else:  # pragma: no cover - interactive
+        import itertools
         import sys
 
         print("enter action id per line (blank=0, q=quit):")
-        for i in range(args.max_frames):
+        for i in itertools.count():
             line = sys.stdin.readline()
             if not line or line.strip().lower() == "q":
                 break

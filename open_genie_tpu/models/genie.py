@@ -263,9 +263,29 @@ class Genie(nn.Module):
         action ids (defaults to zeros, like an idle controller).
         """
         tokens = self.tokenize_prompt(prompt)
-        b, t0, h, w = tokens.shape
+        b, t0, _, _ = tokens.shape
         if actions is None:
             actions = jnp.zeros((b, t0), jnp.int32)
+        buf, cache = self.session_rebase(tokens, actions[:, :t0], max_frames)
+        return buf, cache, t0
+
+    def session_rebase(
+        self, tokens: jnp.ndarray, actions: jnp.ndarray, max_frames: int
+    ):
+        """Fresh decode caches prefilled from a trailing token window.
+
+        The unbounded-session primitive: when a session's horizon fills,
+        keep the most recent `(B, W, H, W)` token frames (with their
+        `(B, W)` action ids), re-prefill, and keep playing. Restarting
+        positions at zero is EXACT for attention among the kept frames --
+        RoPE'd attention scores depend only on position differences -- and
+        the causal FFN conv sees sequence-start padding at the window's
+        left edge instead of the dropped frames' features (the standard
+        sliding-window approximation; it touches only the oldest kept
+        frames). Returns `(buf, cache)` with `buf` zero-padded to
+        `W + max_frames`.
+        """
+        b, t0, h, w = tokens.shape
         cache = self.dynamics_.init_cache(
             b, h, w, t0 + max_frames, dtype=self._decode_dtype()
         )
@@ -281,13 +301,13 @@ class Genie(nn.Module):
             (
                 jnp.arange(t0),
                 jnp.moveaxis(tokens, 1, 0),
-                jnp.moveaxis(actions[:, :t0], 1, 0),
+                jnp.moveaxis(actions, 1, 0),
             ),
         )
         buf = jnp.concatenate(
             [tokens, jnp.zeros((b, max_frames, h, w), tokens.dtype)], axis=1
         )
-        return buf, cache, t0
+        return buf, cache
 
     def session_step(
         self,

@@ -9,6 +9,10 @@ frame. TPU-shaped design:
     caches are fixed-size (allocated for the session horizon at reset)
     and the frame position is a traced scalar, so stepping never
     recompiles and per-step compute is O(1) in history length.
+  * Sessions are UNBOUNDED in length: when the horizon fills, the session
+    rebases onto the trailing half of the token window (fresh caches, one
+    prefill scan, positions restart at zero -- exact for RoPE attention)
+    and keeps playing.
   * Pixel decode runs over a fixed-length sliding window of token frames
     (static shape -> one compiled decode). The window is needed for
     exactness-in-practice: the MAGVIT2-style decoder's GroupNorm pools
@@ -58,6 +62,11 @@ class InteractiveSession:
                 method=genie.session_prefill,
             )
         )
+        self._rebase = jax.jit(
+            lambda p, toks, acts: genie.apply(
+                p, toks, acts, max_frames, method=genie.session_rebase,
+            )
+        )
         self._step = jax.jit(
             lambda p, buf, cache, t, act, key: genie.apply(
                 p, buf, cache, t, act, key,
@@ -88,6 +97,9 @@ class InteractiveSession:
         self._t = 0
         self._t0 = 0
         self._keys = None
+        self._acts = []
+        self._seed = 0
+        self._rebases = 0
 
     # ---------------------------------------------------------------- #
 
@@ -103,12 +115,17 @@ class InteractiveSession:
             prompt_actions = jnp.zeros(
                 (prompt.shape[0], prompt.shape[1]), jnp.int32
             )
-        buf, cache, t0 = self._prefill(
-            self.params, prompt, jnp.asarray(prompt_actions, jnp.int32)
-        )
+        prompt_actions = jnp.asarray(prompt_actions, jnp.int32)
+        buf, cache, t0 = self._prefill(self.params, prompt, prompt_actions)
         self._buf, self._cache = buf, cache
         self._t0 = int(t0)
         self._t = self._t0
+        self._seed = seed
+        self._rebases = 0
+        # Per-frame action history (trimmed to the live window on rebase);
+        # prompt frames take the same `actions[:, :t0]` slice the prefill
+        # committed into the caches.
+        self._acts = [prompt_actions[:, i] for i in range(self._t0)]
         self._keys = list(
             jax.random.split(jax.random.PRNGKey(seed), self.max_frames)
         )
@@ -117,12 +134,13 @@ class InteractiveSession:
 
     def step(self, action) -> np.ndarray:
         """Advance one frame with `action` (int or `(B,)` array); returns
-        the new frame's pixels `(B, H', W', C)`."""
+        the new frame's pixels `(B, H', W', C)`. Sessions are UNBOUNDED:
+        when the preallocated horizon fills, the session rebases -- keeps
+        the most recent half of the token window, re-prefills fresh
+        caches, and keeps playing (sliding-window context)."""
         assert self._buf is not None, "call reset() first"
-        assert self._t - self._t0 < self.max_frames, (
-            f"session horizon exhausted ({self.max_frames} frames); "
-            "raise max_frames at construction"
-        )
+        if self._t - self._t0 >= self.max_frames:
+            self._renew()
         b = self._buf.shape[0]
         act = jnp.broadcast_to(jnp.asarray(action, jnp.int32), (b,))
         key = self._keys[self._t - self._t0]
@@ -131,10 +149,34 @@ class InteractiveSession:
             jnp.asarray(self._t, jnp.int32), act, key,
         )
         self._t += 1
+        self._acts.append(act)
         pixels = self._decode_window(
             self.params, self._buf, jnp.asarray(self._t, jnp.int32)
         )
         return np.asarray(pixels[:, -1])
+
+    def _renew(self) -> None:
+        """Rebase onto the trailing half of the token window: positions
+        restart at zero (exact for RoPE attention -- scores depend only on
+        position differences), a fresh cache is prefilled from the kept
+        frames, and a new per-horizon key schedule is derived. Costs one
+        prefill scan (~one frame's decode work per kept frame) every
+        `max_frames` steps; the first rebase compiles once for the new
+        buffer length."""
+        keep = max(1, (self._t0 + self.max_frames) // 2)
+        toks = self._buf[:, self._t - keep : self._t]
+        acts = jnp.stack(self._acts[-keep:], axis=1)
+        self._buf, self._cache = self._rebase(self.params, toks, acts)
+        self._acts = self._acts[-keep:]
+        self._t0 = keep
+        self._t = keep
+        self._rebases += 1
+        self._keys = list(jax.random.split(
+            jax.random.fold_in(
+                jax.random.PRNGKey(self._seed), self._rebases
+            ),
+            self.max_frames,
+        ))
 
     @property
     def tokens(self) -> np.ndarray:

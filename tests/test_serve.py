@@ -99,11 +99,26 @@ def test_session_replays_batch_rollout(genie_and_params):
     np.testing.assert_array_equal(sess.tokens, np.asarray(want))
 
 
-def test_session_horizon_guard(genie_and_params):
+def test_session_unbounded_rebase(genie_and_params):
+    """Sessions keep playing past the preallocated horizon: the cache
+    rebases onto the trailing token window, preserving the kept frames
+    verbatim, and frames keep coming with the same shape/finiteness."""
     model, params = genie_and_params
-    sess = InteractiveSession(model, params, max_frames=1, steps_per_frame=2)
+    sess = InteractiveSession(
+        model, params, max_frames=2, steps_per_frame=2, pixel_window=2
+    )
     prompt = np.zeros((1, 1, H, W, 3), np.float32)
-    sess.reset(prompt)
-    sess.step(0)
-    with pytest.raises(AssertionError, match="horizon"):
-        sess.step(0)
+    sess.reset(prompt, seed=3)
+
+    for i in range(6):  # 3x the horizon
+        pre = np.asarray(sess.tokens)
+        full = pre.shape[1] - sess._t0 >= sess.max_frames
+        f = sess.step(i % 2)
+        assert f.shape == (1, H, W, 3)
+        assert np.isfinite(f).all()
+        if full:
+            # The rebase kept the trailing window verbatim.
+            post = np.asarray(sess.tokens)
+            keep = post.shape[1] - 1  # everything but the new frame
+            np.testing.assert_array_equal(post[:, :keep], pre[:, -keep:])
+    assert sess._rebases >= 2
