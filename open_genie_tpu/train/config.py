@@ -76,6 +76,9 @@ class OptimizerConfig:
     # Exponential moving average of params (None = off); the EMA tree
     # rides inside the optimizer state (checkpointed automatically).
     ema_decay: Optional[float] = None
+    # Gradient accumulation: average grads over N step calls before one
+    # optimizer update (effective batch = N * batch_size).
+    accum_steps: int = 1
 
     @classmethod
     def from_raw(cls, raw) -> "OptimizerConfig":

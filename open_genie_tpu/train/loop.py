@@ -40,16 +40,20 @@ def make_optimizer(
     grad_clip: Optional[float] = 1.0,
     frozen_mask: Optional[Any] = None,
     ema_decay: Optional[float] = None,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW matching the reference optimizer config
     (`config/tokenize.yaml:49-53`), plus gradient clipping, an optional
-    trainable-mask (True = train, False = frozen), and an optional
-    parameter EMA.
+    trainable-mask (True = train, False = frozen), an optional parameter
+    EMA, and gradient accumulation.
 
     `lr` may be a float or an optax schedule (see
     `OptimizerConfig.schedule()`). The EMA rides in the optimizer state
     (`EmaState`), so it is checkpointed/restored with no train-state
     schema change; read it back with `get_ema_params(opt_state)`.
+    `accum_steps > 1` averages gradients over that many train-step calls
+    before applying one optimizer update (large effective batches within
+    one chip's HBM); clip/EMA/schedules see only the applied steps.
     """
     chain = []
     if grad_clip:
@@ -67,6 +71,10 @@ def make_optimizer(
         # After multi_transform so frozen params' EMA stays at their
         # (constant) value instead of never initializing.
         tx = optax.chain(tx, _params_ema(ema_decay))
+    if accum_steps and accum_steps > 1:
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=accum_steps
+        ).gradient_transformation()
     return tx
 
 

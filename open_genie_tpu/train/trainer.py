@@ -162,6 +162,7 @@ def _opt_kwargs(ocfg) -> dict:
         b2=ocfg.b2,
         grad_clip=ocfg.grad_clip,
         ema_decay=ocfg.ema_decay,
+        accum_steps=ocfg.accum_steps,
     )
 
 

@@ -287,3 +287,37 @@ def test_ema_composes_with_frozen_mask():
     ema = get_ema_params(opt_state)
     np.testing.assert_allclose(ema["frozen"], params["frozen"])
     assert not np.allclose(ema["train_me"], params["train_me"])
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2 over two half-batches produces the same parameter
+    update as one full-batch step (pure-MSE objective: grads are linear
+    in the batch mean, so the equivalence is exact up to fp)."""
+    module = TokenizerTrainModule(
+        tokenizer=TOK, gan_loss_weight=0.0, perc_loss_weight=0.0,
+        quant_loss_weight=0.0,
+    )
+    batch = jax.random.uniform(jax.random.PRNGKey(5), (2, T, H, W, 3))
+
+    opt_full = make_optimizer(lr=1e-2, grad_clip=None)
+    state_full = create_train_state(module, batch, KEY, opt_full)
+    step_full = make_train_step(module, opt_full)
+    state_full, _ = step_full(state_full, batch)
+
+    opt_acc = make_optimizer(lr=1e-2, grad_clip=None, accum_steps=2)
+    state_acc = create_train_state(module, batch[:1], KEY, opt_acc)
+    # Snapshot before stepping: the jitted step donates its input state.
+    a0 = flax.traverse_util.flatten_dict(jax.device_get(state_acc.params))
+    step_acc = make_train_step(module, opt_acc)
+    mid, _ = step_acc(state_acc, batch[:1])
+
+    # Mid-accumulation: gradients staged, parameters untouched.
+    am = flax.traverse_util.flatten_dict(jax.device_get(mid.params))
+    for k in a0:
+        np.testing.assert_array_equal(a0[k], am[k])
+
+    final, _ = step_acc(mid, batch[1:])
+    a = flax.traverse_util.flatten_dict(jax.device_get(final.params))
+    b = flax.traverse_util.flatten_dict(jax.device_get(state_full.params))
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=2e-6, err_msg=str(k))
