@@ -271,6 +271,10 @@ class TrainerConfig:
     log_dir: str = "logs"
     monitor: str = "val_loss"      # best-checkpoint metric (ModelCheckpoint)
     save_last: bool = True         # always checkpoint the final step
+    # jax.profiler trace of steps [profile_start_step, +profile_num_steps)
+    # written to <log_dir>/profile (TensorBoard/XProf viewable); 0 = off.
+    profile_start_step: int = 0
+    profile_num_steps: int = 0
     extra: Dict[str, Any] = field(default_factory=dict)
 
     @classmethod

@@ -442,14 +442,28 @@ def _run_loop(
     monitor = getattr(tcfg, "monitor", "val_loss") or "val_loss"
     monitor_key = monitor[4:] if monitor.startswith("val_") else monitor
     best_val = float("inf")
+    # Optional jax.profiler window (TrainerConfig.profile_*): traces N
+    # steps to <log_dir>/profile for TensorBoard/XProf.
+    prof_n = getattr(tcfg, "profile_num_steps", 0) or 0
+    prof_start = getattr(tcfg, "profile_start_step", 0) or 0
+    tracing = False
     step = start_step
     t0 = time.time()
     done = False
     try:
         while not done:
             for batch in loader:
+                if prof_n and step == prof_start and not tracing:
+                    jax.profiler.start_trace(
+                        os.path.join(tcfg.log_dir, "profile")
+                    )
+                    tracing = True
                 state, metrics = step_fn(state, batch)
                 step += 1
+                if tracing and step >= prof_start + prof_n:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                    tracing = False
                 if step % tcfg.log_every_n_steps == 0:
                     metrics = jax.device_get(metrics)
                     dt = time.time() - t0
@@ -484,6 +498,8 @@ def _run_loop(
                     done = True
                     break
     finally:
+        if tracing:
+            jax.profiler.stop_trace()
         ckpt_writer.close()
         if best_writer is not None:
             best_writer.close()
