@@ -450,9 +450,14 @@ def _run_loop(
     step = start_step
     t0 = time.time()
     done = False
+    from open_genie_tpu.data.loader import device_prefetch
+
     try:
         while not done:
-            for batch in loader:
+            # Keep 2 sharded device batches in flight ahead of the step:
+            # the next batch's host->HBM transfer overlaps the current
+            # step's compute instead of serializing behind it.
+            for batch in device_prefetch(loader, size=2):
                 if prof_n and step == prof_start and not tracing:
                     jax.profiler.start_trace(
                         os.path.join(tcfg.log_dir, "profile")
