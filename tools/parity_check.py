@@ -334,6 +334,13 @@ def _scrubbed_cpu_env() -> dict:
 
 def _run_child(config, role, work_dir, timeout):
     env = _scrubbed_cpu_env() if role == "cpu" else dict(os.environ)
+    if role == "tpu":
+        # Reuse bench.py's persistent executable cache: the remote compile
+        # service dominates TPU-child wall time on repeat runs.
+        env.setdefault(
+            "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_tpu_cache")
+        )
+        env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     t0 = time.monotonic()
     try:
         proc = subprocess.run(
