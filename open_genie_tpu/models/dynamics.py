@@ -79,25 +79,26 @@ def maskgit_commit(
 
     Returns `(new_mask, new_code)`. Confidence is the sampled token's
     log-probability (monotone in the reference's softmax probability,
-    `dynamics.py:139-148`). Sampling is inverse-CDF: one uniform draw per
-    POSITION against the cumulative softmax, instead of the Gumbel trick's
-    `(B, HW, V)` random tensor -- V-fold fewer threefry evaluations (TPU
-    PRNG bits are ALU-expensive), and the same cumsum yields the
-    normalizer, so no separate logsumexp pass and no materialized softmax.
-    The rank-by-double-argsort is one argsort + a scatter (sampling and
+    `dynamics.py:139-148`) -- computed as `logit - logsumexp` so the
+    `(B, HW, V)` softmax tensor is never materialized, and the
+    rank-by-double-argsort is one argsort + a scatter (sampling and
     ranking were ~30% of a KV-cached refine step's wall clock).
+
+    Sampling uses the Gumbel-argmax trick (`jax.random.categorical`)
+    rather than an inverse-CDF walk: inverse-CDF draws one uniform per
+    position (V-fold fewer PRNG bits) but decides by thresholding a float
+    cumsum, and the ~1e-4 cross-backend logit differences flip boundary
+    draws often enough to break CPU<->TPU rollout parity (one flipped
+    token cascades through every later MaskGIT step). Gumbel-argmax
+    decides by an argmax whose margins are O(1), which held bit-exact
+    token parity across backends in the PARITY_r02 artifact; measured
+    rollout speed of the two samplers is identical within tunnel noise.
     """
-    b, hw, v = logits.shape
-    z = logits.astype(jnp.float32) / temp
-    zmax = z.max(axis=-1, keepdims=True)
-    csum = jnp.cumsum(jnp.exp(z - zmax), axis=-1)  # (B, HW, V)
-    total = csum[..., -1]
-    u = jax.random.uniform(key, (b, hw)) * total
-    # u falls in (csum[i-1], csum[i]] with probability softmax(z)[i]; the
-    # min() guards float rounding at the top bucket.
-    pred = jnp.minimum((csum < u[..., None]).sum(axis=-1), v - 1)
-    logp = jnp.take_along_axis(z - zmax, pred[..., None], axis=-1)[..., 0]
-    conf = logp - jnp.log(total)
+    b, hw, _ = logits.shape
+    logits = logits.astype(jnp.float32) / temp
+    pred = jax.random.categorical(key, logits, axis=-1)  # (B, HW)
+    logp = jnp.take_along_axis(logits, pred[..., None], axis=-1)[..., 0]
+    conf = logp - jax.scipy.special.logsumexp(logits, axis=-1)
     conf = jnp.where(mask, conf, -jnp.inf)
 
     order = jnp.argsort(-conf, axis=-1)  # (B, HW), best first
