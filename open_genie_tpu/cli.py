@@ -125,7 +125,10 @@ def _play(args):
         SyntheticVideo(num_frames=1, height=args.size, width=args.size)[0]
     )[None]
     frames = [np.asarray(f) for f in sess.reset(np.asarray(prompt), seed=args.seed)[0]]
-    print(f"session ready ({args.max_frames}-frame horizon); prompt decoded")
+    print(
+        f"session ready (unbounded; {args.max_frames}-frame cache window); "
+        "prompt decoded"
+    )
 
     # Sessions are unbounded (the session rebases its cache window when
     # the horizon fills), so the scripted/interactive loops have no cap.

@@ -80,14 +80,21 @@ class InteractiveSession:
         # the clamped window can include not-yet-generated zero frames;
         # the causal convs keep them from leaking into earlier frames and
         # only the (time-pooled) GroupNorm statistics see them.
-        def _decode_window(p, buf, t):
+        def _decode_last(p, buf, t):
             w = min(pixel_window, buf.shape[1])  # short-horizon sessions
             window = jax.lax.dynamic_slice_in_dim(
                 buf, jnp.maximum(t - w, 0), w, axis=1
             )
-            return genie.apply(p, window, method=genie.decode_window)
+            pixels = genie.apply(p, window, method=genie.decode_window)
+            # The newest generated frame sits at min(t, w) - 1 inside the
+            # clamped window: for t < w the window starts at 0 and extends
+            # PAST t into not-yet-generated zero frames, so the last window
+            # slot is not the new frame.
+            return jax.lax.dynamic_index_in_dim(
+                pixels, jnp.minimum(t, w) - 1, axis=1, keepdims=False
+            )
 
-        self._decode_window = jax.jit(_decode_window)
+        self._decode_last = jax.jit(_decode_last)
         # Exact prompt decode (static prompt length; compiles once per
         # prompt shape).
         self._decode_prefix = jax.jit(
@@ -122,6 +129,11 @@ class InteractiveSession:
         self._t = self._t0
         self._seed = seed
         self._rebases = 0
+        # Constant rebase width, fixed at reset: every rebase keeps the
+        # same number of trailing frames, so buffer/cache shapes change at
+        # most ONCE (first rebase) and later rebases reuse the compiled
+        # programs (cold compiles dominate on tunneled TPUs).
+        self._keep = max(1, (self._t0 + self.max_frames) // 2)
         # Per-frame action history (trimmed to the live window on rebase);
         # prompt frames take the same `actions[:, :t0]` slice the prefill
         # committed into the caches.
@@ -150,20 +162,21 @@ class InteractiveSession:
         )
         self._t += 1
         self._acts.append(act)
-        pixels = self._decode_window(
+        frame = self._decode_last(
             self.params, self._buf, jnp.asarray(self._t, jnp.int32)
         )
-        return np.asarray(pixels[:, -1])
+        return np.asarray(frame)
 
     def _renew(self) -> None:
-        """Rebase onto the trailing half of the token window: positions
+        """Rebase onto the trailing `self._keep` token frames: positions
         restart at zero (exact for RoPE attention -- scores depend only on
         position differences), a fresh cache is prefilled from the kept
         frames, and a new per-horizon key schedule is derived. Costs one
         prefill scan (~one frame's decode work per kept frame) every
-        `max_frames` steps; the first rebase compiles once for the new
-        buffer length."""
-        keep = max(1, (self._t0 + self.max_frames) // 2)
+        `max_frames` steps; the constant keep width means only the FIRST
+        rebase introduces a new buffer shape (one compile), later rebases
+        reuse the compiled programs."""
+        keep = self._keep
         toks = self._buf[:, self._t - keep : self._t]
         acts = jnp.stack(self._acts[-keep:], axis=1)
         self._buf, self._cache = self._rebase(self.params, toks, acts)

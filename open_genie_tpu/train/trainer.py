@@ -466,7 +466,10 @@ def _run_loop(
                 state, metrics = step_fn(state, batch)
                 step += 1
                 if tracing and step >= prof_start + prof_n:
-                    jax.block_until_ready(metrics)
+                    # Hard host sync: block_until_ready returns early over
+                    # a remote-TPU tunnel (CLAUDE.md gotcha); a device_get
+                    # transfer cannot.
+                    jax.device_get(metrics)
                     jax.profiler.stop_trace()
                     tracing = False
                 if step % tcfg.log_every_n_steps == 0:

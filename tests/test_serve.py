@@ -99,6 +99,32 @@ def test_session_replays_batch_rollout(genie_and_params):
     np.testing.assert_array_equal(sess.tokens, np.asarray(want))
 
 
+def test_session_step_returns_generated_frame_pixels(genie_and_params):
+    """When t < pixel_window the clamped decode window extends PAST the
+    newest frame into all-zero future slots; step() must return the
+    generated frame (window index min(t, w) - 1), not the window's last
+    slot (regression: early steps returned decodes of not-yet-generated
+    zero-token frames)."""
+    model, params = genie_and_params
+    sess = InteractiveSession(
+        model, params, max_frames=3, steps_per_frame=2, pixel_window=4
+    )
+    prompt = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(4), (1, 1, H, W, 3))
+    )
+    sess.reset(prompt, seed=0)
+    f = sess.step(1)
+
+    t = sess._t  # == 2 < pixel_window: the regression regime
+    w = min(4, sess._buf.shape[1])
+    start = max(t - w, 0)
+    window = sess._buf[:, start:start + w]
+    want = model.apply(params, window, method=model.decode_window)
+    np.testing.assert_allclose(
+        f, np.asarray(want[:, min(t, w) - 1]), atol=1e-5
+    )
+
+
 def test_session_unbounded_rebase(genie_and_params):
     """Sessions keep playing past the preallocated horizon: the cache
     rebases onto the trailing token window, preserving the kept frames
