@@ -70,6 +70,7 @@ def _generate(args):
         prompt, actions, key,
         num_frames=args.frames,
         steps_per_frame=args.steps_per_frame,
+        top_k=args.top_k,
         method=module.generate,
     )
     video = np.asarray(jnp.clip(video[0], 0, 1))
@@ -120,6 +121,7 @@ def _play(args):
         max_frames=args.max_frames,
         steps_per_frame=args.steps_per_frame,
         pixel_window=args.pixel_window,
+        top_k=args.top_k,
     )
     prompt = jnp.asarray(
         SyntheticVideo(num_frames=1, height=args.size, width=args.size)[0]
@@ -337,6 +339,8 @@ def main(argv=None):
     pg.add_argument("--ckpt", default=None)
     pg.add_argument("--frames", type=int, default=16)
     pg.add_argument("--steps-per-frame", type=int, default=25)
+    pg.add_argument("--top-k", dest="top_k", type=int, default=None,
+                    help="restrict sampling to the top-k logits (1 = greedy)")
     pg.add_argument("--size", type=int, default=64)
     pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--out", default="rollout.mp4")
@@ -353,6 +357,8 @@ def main(argv=None):
     pp.add_argument("--max-frames", dest="max_frames", type=int, default=32)
     pp.add_argument("--steps-per-frame", dest="steps_per_frame", type=int, default=8)
     pp.add_argument("--pixel-window", dest="pixel_window", type=int, default=4)
+    pp.add_argument("--top-k", dest="top_k", type=int, default=None,
+                    help="restrict sampling to the top-k logits (1 = greedy)")
     pp.add_argument("--seed", type=int, default=0)
     pp.add_argument("--out", default="session.mp4")
     pp.set_defaults(fn=_play)

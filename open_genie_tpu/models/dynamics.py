@@ -66,6 +66,7 @@ def maskgit_commit(
     code: jnp.ndarray,
     num_tokens,
     temp: float = 1.0,
+    top_k: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One MaskGIT refinement commit, shared by every decode path.
 
@@ -76,6 +77,10 @@ def maskgit_commit(
       code: `(B, HW)` committed token ids so far.
       num_tokens: tokens to commit this step (traced scalar ok).
       temp: sampling temperature.
+      top_k: restrict sampling to each position's `top_k` highest logits
+        (None = full vocab). The reference declares a `topk` parameter but
+        never uses it (`dynamics.py:109`, SURVEY 2.11.2); this implements
+        the intended knob. `top_k=1` is greedy decoding.
 
     Returns `(new_mask, new_code)`. Confidence is the sampled token's
     log-probability (monotone in the reference's softmax probability,
@@ -94,8 +99,11 @@ def maskgit_commit(
     token parity across backends in the PARITY_r02 artifact; measured
     rollout speed of the two samplers is identical within tunnel noise.
     """
-    b, hw, _ = logits.shape
+    b, hw, v = logits.shape
     logits = logits.astype(jnp.float32) / temp
+    if top_k is not None and top_k < v:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
     pred = jax.random.categorical(key, logits, axis=-1)  # (B, HW)
     logp = jnp.take_along_axis(logits, pred[..., None], axis=-1)[..., 0]
     conf = logp - jax.scipy.special.logsumexp(logits, axis=-1)

@@ -143,6 +143,7 @@ class Genie(nn.Module):
         steps_per_frame: int = 25,
         temp: float = 1.0,
         which: str = "linear",
+        top_k=None,
     ) -> jnp.ndarray:
         """KV-cached autoregressive MaskGIT rollout (the fast path).
 
@@ -198,7 +199,8 @@ class Genie(nn.Module):
                 actions, tgt[None, None], axis=1
             )[:, 0]
             frame, cache = self._refine_frame(
-                cache, tgt, act_t, k, schedule, temp, (b, h, w), buf.dtype
+                cache, tgt, act_t, k, schedule, temp, (b, h, w), buf.dtype,
+                top_k=top_k,
             )
             buf = lax.dynamic_update_slice_in_dim(
                 buf, frame[:, None], tgt, axis=1
@@ -220,7 +222,7 @@ class Genie(nn.Module):
             return jnp.float32
 
     def _refine_frame(
-        self, cache, tgt, act_t, key, schedule, temp, bhw, dtype
+        self, cache, tgt, act_t, key, schedule, temp, bhw, dtype, top_k=None
     ):
         """One cached MaskGIT frame generation: `len(schedule)` refinement
         passes over the new frame, then a commit pass that appends the
@@ -239,7 +241,8 @@ class Genie(nn.Module):
             frame = jnp.where(mask, 0, code).reshape(b, h, w)
             logits, _ = self.dynamics_.decode_frame(frame, act_t, cache, tgt)
             mask, code = maskgit_commit(
-                sk, logits.reshape(b, h * w, -1), mask, code, num_tokens, temp
+                sk, logits.reshape(b, h * w, -1), mask, code, num_tokens,
+                temp, top_k=top_k,
             )
             return (mask, code), None
 
@@ -319,6 +322,7 @@ class Genie(nn.Module):
         steps_per_frame: int = 8,
         temp: float = 1.0,
         which: str = "linear",
+        top_k=None,
     ):
         """Generate the frame at position `t` of the session buffer from a
         live `(B,)` action (the "press a button, get a frame" path).
@@ -330,7 +334,8 @@ class Genie(nn.Module):
         b, _, h, w = buf.shape
         schedule = jnp.asarray(get_schedule(steps_per_frame, (h, w), which))
         frame, cache = self._refine_frame(
-            cache, t, action, key, schedule, temp, (b, h, w), buf.dtype
+            cache, t, action, key, schedule, temp, (b, h, w), buf.dtype,
+            top_k=top_k,
         )
         buf = lax.dynamic_update_slice_in_dim(buf, frame[:, None], t, axis=1)
         return buf, cache
@@ -344,6 +349,7 @@ class Genie(nn.Module):
         steps_per_frame: int = 25,
         temp: float = 1.0,
         which: str = "linear",
+        top_k=None,
     ) -> jnp.ndarray:
         """Autoregressive MaskGIT rollout in token space.
 
@@ -390,7 +396,7 @@ class Genie(nn.Module):
                 logits = lax.dynamic_slice_in_dim(logits, tgt, 1, axis=1)[:, 0]
                 mask, code = maskgit_commit(
                     sk, logits.reshape(b, h * w, -1), mask, code,
-                    num_tokens, temp,
+                    num_tokens, temp, top_k=top_k,
                 )
                 return (mask, code), None
 
@@ -419,6 +425,7 @@ class Genie(nn.Module):
         num_frames: int = 16,
         steps_per_frame: int = 25,
         temp: float = 1.0,
+        top_k=None,
     ) -> jnp.ndarray:
         """Generate video from an image/video prompt and an action sequence.
 
@@ -434,6 +441,7 @@ class Genie(nn.Module):
             actions = jnp.concatenate([actions, pad], axis=1)
 
         tokens = self.rollout_tokens(
-            tokens, actions, key, num_frames, steps_per_frame, temp
+            tokens, actions, key, num_frames, steps_per_frame, temp,
+            top_k=top_k,
         )
         return self.tokenizer_.decode_tokens(tokens)

@@ -50,6 +50,7 @@ class InteractiveSession:
         temp: float = 1.0,
         which: str = "linear",
         pixel_window: int = 4,
+        top_k=None,
     ) -> None:
         self.genie = genie
         self.params = params if "params" in params else {"params": params}
@@ -71,7 +72,7 @@ class InteractiveSession:
             lambda p, buf, cache, t, act, key: genie.apply(
                 p, buf, cache, t, act, key,
                 steps_per_frame=steps_per_frame, temp=temp, which=which,
-                method=genie.session_step,
+                top_k=top_k, method=genie.session_step,
             )
         )
 

@@ -146,10 +146,11 @@ class GenieTrainModule(nn.Module):
         return self.model.init_full(video, key)
 
     def generate(self, prompt, actions, key, num_frames: int = 16,
-                 steps_per_frame: int = 25, temp: float = 1.0):
+                 steps_per_frame: int = 25, temp: float = 1.0, top_k=None):
         return self.model(
             prompt, actions, key,
             num_frames=num_frames, steps_per_frame=steps_per_frame, temp=temp,
+            top_k=top_k,
         )
 
 

@@ -158,6 +158,33 @@ def test_maskgit_commit_sampling_matches_softmax():
     np.testing.assert_allclose(freq, want, atol=0.03)
 
 
+def test_maskgit_commit_top_k():
+    """top_k=1 is greedy decoding; top_k=2 only ever draws the two
+    highest-logit tokens (the reference's declared-but-dead `topk`,
+    SURVEY 2.11.2, implemented with intended semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_genie_tpu.models.dynamics import maskgit_commit
+
+    n = 256
+    logits = jnp.tile(jnp.asarray([1.0, 3.0, 0.0, 2.0]), (1, n, 1))
+    mask = jnp.ones((1, n), bool)
+    code = jnp.zeros((1, n), jnp.int32)
+
+    _, greedy = maskgit_commit(
+        jax.random.PRNGKey(0), logits, mask, code, n, top_k=1
+    )
+    assert (np.asarray(greedy) == 1).all()
+
+    _, top2 = maskgit_commit(
+        jax.random.PRNGKey(1), logits, mask, code, n, top_k=2
+    )
+    assert set(np.unique(np.asarray(top2))) <= {1, 3}
+    assert len(np.unique(np.asarray(top2))) == 2  # both survive sampling
+
+
 def test_maskgit_commit_temperature_sharpens():
     """Low temperature concentrates draws on the argmax token."""
     import jax
