@@ -20,15 +20,88 @@ import os
 
 def _train(args):
     from open_genie_tpu.train.config import load_config
-    from open_genie_tpu.train.trainer import train_genie, train_tokenizer
+    from open_genie_tpu.train.trainer import (
+        train_dynamics,
+        train_genie,
+        train_tokenizer,
+    )
 
     cfg = load_config(args.config, kind=args.what)
     if args.max_steps is not None:
         cfg.trainer.max_steps = args.max_steps
-    if args.what == "tokenizer":
-        train_tokenizer(cfg, resume=args.resume)
-    else:
-        train_genie(cfg, resume=args.resume)
+    fn = {"tokenizer": train_tokenizer, "genie": train_genie,
+          "dynamics": train_dynamics}[args.what]
+    fn(cfg, resume=args.resume)
+
+
+def _tokenize_data(args):
+    """Pre-tokenize a video dataset with a frozen genie checkpoint: cache
+    each clip's token grid + latent-action ids as one npz shard (the
+    staged-training input for `train dynamics`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_genie_tpu.data.tokens import write_token_shard
+    from open_genie_tpu.models.genie import Genie
+    from open_genie_tpu.train.config import load_config
+    from open_genie_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        restore_params,
+    )
+    from open_genie_tpu.train.losses import GenieTrainModule
+    from open_genie_tpu.train.trainer import build_dataset, genie_model_kwargs
+
+    cfg = load_config(args.config, kind="genie")
+    genie_kwargs = genie_model_kwargs(cfg.model)
+    module = GenieTrainModule(genie=genie_kwargs)
+    key = jax.random.PRNGKey(cfg.trainer.seed)
+    probe = build_dataset(cfg.data, split="train")[0]
+    sample = jnp.zeros((1,) + tuple(probe.shape), jnp.float32)
+    state = create_train_state(
+        module, sample, key, make_optimizer(),
+        init_kwargs={"method": module.full_init},
+    )
+    params = state.params
+    if args.ckpt:
+        params, step = restore_params(args.ckpt, params)
+        print(f"# restored checkpoint step {step} from {args.ckpt}")
+
+    genie = Genie(**genie_kwargs)
+
+    def _tok(m, video):
+        tokens = m.tokenize_prompt(video)
+        act_idxs, _, _ = m.latent_action_(video, training=False)
+        t_tok, t_act = tokens.shape[1], act_idxs.shape[1]
+        if t_act != t_tok:  # time-compressing tokenizer: subsample actions
+            ratio = t_act // t_tok
+            act_idxs = act_idxs[:, ::ratio][:, :t_tok]
+        return tokens, act_idxs
+
+    tok_fn = jax.jit(
+        lambda p, v: genie.apply(p, v, method=_tok)
+    )
+
+    import os
+
+    for split in args.splits.split(","):
+        try:
+            dataset = build_dataset(cfg.data, split=split)
+        except FileNotFoundError:
+            print(f"# split {split!r}: no source data, skipped")
+            continue
+        n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
+        for i in range(n):
+            video = jnp.asarray(np.asarray(dataset[i]))[None]
+            tokens, acts = jax.device_get(
+                tok_fn({"params": params["model"]}, video)
+            )
+            write_token_shard(
+                os.path.join(args.out, split, f"{i:06d}.npz"),
+                tokens[0], acts[0],
+            )
+        print(f"# split {split!r}: wrote {n} shards to {args.out}/{split}")
 
 
 def _generate(args):
@@ -328,7 +401,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pt = sub.add_parser("train", help="train a model from a YAML config")
-    pt.add_argument("what", choices=["tokenizer", "genie"])
+    pt.add_argument("what", choices=["tokenizer", "genie", "dynamics"])
     pt.add_argument("--config", required=True)
     pt.add_argument("--resume", action="store_true")
     pt.add_argument("--max-steps", type=int, default=None)
@@ -374,6 +447,17 @@ def main(argv=None):
     pe.add_argument("--split", default="val")
     pe.add_argument("--max-batches", dest="max_batches", type=int, default=16)
     pe.set_defaults(fn=_eval)
+
+    pk = sub.add_parser(
+        "tokenize-data",
+        help="cache token/action shards from a frozen genie (staged training)",
+    )
+    pk.add_argument("--config", required=True)
+    pk.add_argument("--ckpt", default=None)
+    pk.add_argument("--out", required=True)
+    pk.add_argument("--splits", default="train,val")
+    pk.add_argument("--limit", type=int, default=None)
+    pk.set_defaults(fn=_tokenize_data)
 
     pd = sub.add_parser("make-data", help="generate an mp4 dataset")
     pd.add_argument("--root", required=True)

@@ -105,7 +105,12 @@ class BatchLoader:
                         if state["abort"] or not pending:
                             return
                         bi, idxs = pending.pop()
-                    batch = np.stack([self.dataset[int(i)] for i in idxs])
+                    items = [self.dataset[int(i)] for i in idxs]
+                    if isinstance(items[0], dict):  # token shards etc.
+                        batch = {k: np.stack([it[k] for it in items])
+                                 for k in items[0]}
+                    else:
+                        batch = np.stack(items)
                     with cond:
                         results[bi] = batch
                         cond.notify_all()

@@ -77,8 +77,13 @@ def place_batch(batch, sharding: Optional[NamedSharding]):
     if sharding is None:
         return jax.device_put(batch)
     if jax.process_count() == 1:
+        # device_put maps a single sharding over every pytree leaf
+        # (batches may be dicts, e.g. token shards).
         return jax.device_put(batch, sharding)
-    return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.tree.map(
+        lambda leaf: jax.make_array_from_process_local_data(sharding, leaf),
+        batch,
+    )
 
 
 def global_batch(batch, mesh: Mesh):

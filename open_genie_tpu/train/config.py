@@ -217,6 +217,35 @@ class GenieModelConfig:
 
 
 @dataclass
+class DynamicsModelConfig:
+    """Dynamics-only training (pre-tokenized clips, `data/tokens.py`)."""
+
+    dynamics: Dict[str, Any] = field(default_factory=dict)
+    tok_vocab: int = 1024
+    act_vocab: int = 256
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+
+    @classmethod
+    def from_raw(cls, raw: dict) -> "DynamicsModelConfig":
+        raw = dict(raw or {})
+        dyn = dict(raw.get("dynamics") or {})
+        if "desc" in dyn:
+            dyn["desc"] = _to_blueprint(dyn["desc"])
+        return cls(
+            dynamics=dyn,
+            tok_vocab=int(raw.get("tok_vocab", 1024)),
+            act_vocab=int(raw.get("act_vocab", 256)),
+            optimizer=OptimizerConfig.from_raw(raw.get("optimizer")),
+        )
+
+    def dynamics_kwargs(self) -> Dict[str, Any]:
+        dyn = dict(self.dynamics)
+        dyn.setdefault("tok_vocab", self.tok_vocab)
+        dyn.setdefault("act_vocab", self.act_vocab)
+        return dyn
+
+
+@dataclass
 class DataConfig:
     root: str = ""
     env_name: str = "Coinrun"
@@ -313,7 +342,11 @@ def load_config(path: str, kind: str = "tokenizer") -> ExperimentConfig:
         raw = yaml.safe_load(f)
 
     seed = raw.get("seed_everything")
-    model_cls = TokenizerModelConfig if kind == "tokenizer" else GenieModelConfig
+    model_cls = {
+        "tokenizer": TokenizerModelConfig,
+        "genie": GenieModelConfig,
+        "dynamics": DynamicsModelConfig,
+    }[kind]
     return ExperimentConfig(
         model=model_cls.from_raw(raw.get("model")),
         data=DataConfig.from_raw(raw.get("data")),

@@ -149,6 +149,16 @@ def create_train_state(
     )
 
 
+def _cast_batch(batch, compute_dtype):
+    """Cast the FLOAT leaves of a batch pytree to the compute dtype;
+    integer leaves (token/action ids) pass through untouched."""
+    return jax.tree.map(
+        lambda x: x.astype(compute_dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        batch,
+    )
+
+
 def make_train_step(
     module,
     optimizer: optax.GradientTransformation,
@@ -169,7 +179,7 @@ def make_train_step(
     def step_fn(state: TrainState, batch):
         key, sub, k_drop = jax.random.split(state.key, 3)
         if compute_dtype is not None:
-            batch = batch.astype(compute_dtype)
+            batch = _cast_batch(batch, compute_dtype)
 
         def loss_fn(params):
             if compute_dtype is not None:

@@ -154,6 +154,32 @@ class GenieTrainModule(nn.Module):
         )
 
 
+class DynamicsTrainModule(nn.Module):
+    """Dynamics-only training over pre-tokenized clips.
+
+    The staged-training fast path: with the tokenizer and latent-action
+    models frozen and their outputs cached to disk (`cli.py tokenize-data`,
+    `data/tokens.py`), dynamics training consumes
+    `{"tokens": (B, T', H', W'), "actions": (B, T')}` batches directly --
+    no tokenizer/action forwards in the step, an order of magnitude less
+    host IO, and the masked-CE objective identical to the joint path
+    (`DynamicsModel.compute_loss`).
+    """
+
+    dynamics: Dict[str, Any]
+
+    def setup(self):
+        from open_genie_tpu.models.dynamics import DynamicsModel
+
+        self.model = DynamicsModel(**self.dynamics)
+
+    def __call__(self, batch, key, train: bool = True):
+        loss, aux = self.model.compute_loss(
+            batch["tokens"], batch["actions"], key, train=train
+        )
+        return loss, {"dyn_loss": loss, **{f"dyn_{k}": v for k, v in aux.items()}}
+
+
 def frozen_param_mask(params, frozen_prefixes: Tuple[str, ...]):
     """Optax mask pytree: True = trainable, False = frozen.
 

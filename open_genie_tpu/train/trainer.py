@@ -61,6 +61,10 @@ def build_dataset(cfg, split: str = "train") -> object:
         if os.path.isdir(path):
             path = os.path.join(path, f"{split}.gvid")
         return GVidDataset(path, num_frames=cfg.num_frames)
+    if cfg.source == "tokens":
+        from open_genie_tpu.data.tokens import TokenClipDataset
+
+        return TokenClipDataset(cfg.root, split=split)
     if cfg.source == "kinetics":
         from open_genie_tpu.data.kinetics import KineticsFolder
 
@@ -175,7 +179,9 @@ def _make_val_fn(module, compute_dtype, loss_kwargs=None):
     @functools.partial(jax.jit, static_argnums=())
     def val_fn(state, batch):
         if compute_dtype is not None:
-            batch = batch.astype(compute_dtype)
+            from open_genie_tpu.train.loop import _cast_batch
+
+            batch = _cast_batch(batch, compute_dtype)
         key = jax.random.fold_in(state.key, 1)
         _, metrics = module.apply(
             {"params": state.params}, batch, key, train=False, **loss_kwargs
@@ -356,6 +362,61 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     return _run_loop(
         state, step_fn, loader, tcfg, start_step,
         val_fn=val_fn, val_loader=val_loader, eval_hook=eval_hook,
+    )
+
+
+def train_dynamics(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
+    """Dynamics-only training over pre-tokenized clips (`source: tokens`,
+    shards from `cli.py tokenize-data`). The staged-training third stage:
+    tokenizer and latent actions are frozen on disk, the step is pure
+    MaskGIT masked-CE over `(tokens, actions)` dict batches."""
+    from open_genie_tpu.train.config import DynamicsModelConfig
+    from open_genie_tpu.train.losses import DynamicsTrainModule
+
+    mcfg: DynamicsModelConfig = cfg.model
+    tcfg = cfg.trainer
+    init_distributed()  # multi-host: env-driven, no-op single-process
+
+    assert cfg.data.source == "tokens", (
+        "train_dynamics consumes pre-tokenized shards; set data.source: "
+        "tokens and data.root to a tokenize-data output directory"
+    )
+    module = DynamicsTrainModule(dynamics=mcfg.dynamics_kwargs())
+    dataset = build_dataset(cfg.data)
+    mesh = make_mesh(n_data=tcfg.n_data, n_model=tcfg.n_model)
+    loader = build_loader(cfg, dataset, mesh, tcfg)
+
+    key = jax.random.PRNGKey(tcfg.seed)
+    item = dataset[0]
+    sample = {
+        k: np.zeros((cfg.data.batch_size,) + v.shape, v.dtype)
+        for k, v in item.items()
+    }
+    optimizer = make_optimizer(**_opt_kwargs(mcfg.optimizer))
+    state = create_train_state(module, sample, key, optimizer)
+
+    start_step = 0
+    if resume:
+        state, start_step = restore_checkpoint(tcfg.ckpt_dir, state)
+
+    state = shard_state(state, mesh)
+    step_fn = make_train_step(
+        module, optimizer, mesh=mesh,
+        compute_dtype=_compute_dtype(tcfg.precision),
+    )
+    val_loader = val_fn = None
+    if tcfg.val_check_interval:
+        try:
+            val_ds = build_dataset(cfg.data, split="val")
+        except FileNotFoundError:
+            val_ds = None  # flat shard dir without a val split
+        if val_ds is not None:
+            val_loader = build_loader(cfg, val_ds, mesh, tcfg, split="val")
+            val_fn = _make_val_fn(module, _compute_dtype(tcfg.precision))
+    save_config_snapshot(tcfg.ckpt_dir, cfg)
+    return _run_loop(
+        state, step_fn, loader, tcfg, start_step,
+        val_fn=val_fn, val_loader=val_loader,
     )
 
 

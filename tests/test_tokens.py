@@ -1,0 +1,90 @@
+"""Pre-tokenized staged training: shard IO, dict batching, dynamics-only
+training end-to-end (`cli tokenize-data` -> `train dynamics`)."""
+import numpy as np
+import pytest
+
+from open_genie_tpu.data.loader import BatchLoader
+from open_genie_tpu.data.tokens import TokenClipDataset, write_token_shard
+
+
+def _write_shards(root, n=4, t=3, h=4, w=4, split="train", seed=0):
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        write_token_shard(
+            str(root / split / f"{i:04d}.npz"),
+            rng.integers(0, 16, (t, h, w)),
+            rng.integers(0, 4, (t,)),
+        )
+
+
+def test_token_shard_roundtrip(tmp_path):
+    _write_shards(tmp_path, n=3)
+    ds = TokenClipDataset(str(tmp_path), split="train")
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["tokens"].shape == (3, 4, 4)
+    assert item["tokens"].dtype == np.int32
+    assert item["actions"].shape == (3,)
+
+
+def test_token_dataset_flat_dir_rejects_val(tmp_path):
+    for i in range(2):
+        write_token_shard(
+            str(tmp_path / f"{i}.npz"),
+            np.zeros((2, 4, 4), np.int32), np.zeros((2,), np.int32),
+        )
+    assert len(TokenClipDataset(str(tmp_path), split="train")) == 2
+    with pytest.raises(FileNotFoundError):
+        TokenClipDataset(str(tmp_path), split="val")
+
+
+def test_batch_loader_stacks_dict_items(tmp_path):
+    _write_shards(tmp_path, n=4)
+    ds = TokenClipDataset(str(tmp_path))
+    loader = BatchLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert set(b.keys()) == {"tokens", "actions"}
+    assert np.asarray(b["tokens"]).shape == (2, 3, 4, 4)
+    assert np.asarray(b["actions"]).shape == (2, 3)
+
+
+def test_train_dynamics_on_token_shards(tmp_path):
+    from open_genie_tpu.train.config import (
+        DataConfig,
+        DynamicsModelConfig,
+        ExperimentConfig,
+        TrainerConfig,
+    )
+    from open_genie_tpu.train.trainer import train_dynamics
+
+    _write_shards(tmp_path / "tokens", n=4, split="train", seed=0)
+    _write_shards(tmp_path / "tokens", n=2, split="val", seed=1)
+
+    cfg = ExperimentConfig(
+        model=DynamicsModelConfig(
+            dynamics=dict(
+                desc=(("space-time_attn",
+                       {"n_rep": 1, "n_embd": 16, "n_head": 2, "d_head": 8}),),
+                embed_dim=16,
+            ),
+            tok_vocab=16,
+            act_vocab=4,
+        ),
+        data=DataConfig(source="tokens", root=str(tmp_path / "tokens"),
+                        batch_size=2, num_workers=1),
+        trainer=TrainerConfig(
+            max_steps=2, precision="16-mixed", log_every_n_steps=1,
+            ckpt_dir=str(tmp_path / "ckpt"), ckpt_every_n_steps=2,
+            val_check_interval=2, limit_val_batches=1,
+            log_dir=str(tmp_path / "logs"), n_data=1,
+        ),
+    )
+    state = train_dynamics(cfg)
+    assert int(state.step) == 2
+    # checkpoint + config snapshot written
+    import os
+
+    assert os.path.isdir(tmp_path / "ckpt" / "2")
+    assert os.path.exists(tmp_path / "ckpt" / "config.yaml")
