@@ -272,11 +272,38 @@ def _eval(args):
 
     key = jax.random.PRNGKey(cfg.trainer.seed)
     sample = jnp.zeros(_sample_batch_shape(dataset, cfg), jnp.float32)
-    state = create_train_state(module, sample, key, make_optimizer())
-    params = state.params
-    if args.ckpt:
-        params, step = restore_params(args.ckpt, params)
-        print(f"# restored checkpoint step {step} from {args.ckpt}")
+
+    if args.ckpt and args.ema:
+        # EMA params live in the optimizer state, so the optimizer layout
+        # must replicate training exactly (same config: schedules, accum,
+        # and the VGG freeze mask) for the full-state restore to match.
+        from open_genie_tpu.train.loop import (
+            get_ema_params,
+            restore_checkpoint,
+        )
+        from open_genie_tpu.train.losses import frozen_param_mask
+        from open_genie_tpu.train.trainer import _opt_kwargs
+
+        opt = make_optimizer(**_opt_kwargs(mcfg.optimizer))
+        state = create_train_state(module, sample, key, opt)
+        if mcfg.perc_loss_weight > 0:
+            mask = frozen_param_mask(state.params, ("perc_crit",))
+            opt = make_optimizer(**_opt_kwargs(mcfg.optimizer), frozen_mask=mask)
+            state = state.replace(opt_state=opt.init(state.params))
+        state, step = restore_checkpoint(args.ckpt, state)
+        ema = get_ema_params(state.opt_state)
+        assert ema is not None, (
+            "--ema: checkpoint carries no parameter EMA "
+            "(train with model.optimizer.ema_decay set)"
+        )
+        params = ema
+        print(f"# restored EMA params at step {step} from {args.ckpt}")
+    else:
+        state = create_train_state(module, sample, key, make_optimizer())
+        params = state.params
+        if args.ckpt:
+            params, step = restore_params(args.ckpt, params)
+            print(f"# restored checkpoint step {step} from {args.ckpt}")
 
     tokenizer = VideoTokenizer(**mcfg.tokenizer_kwargs())
     report = evaluate_tokenizer(
@@ -446,6 +473,9 @@ def main(argv=None):
     pe.add_argument("--ckpt", default=None)
     pe.add_argument("--split", default="val")
     pe.add_argument("--max-batches", dest="max_batches", type=int, default=16)
+    pe.add_argument("--ema", action="store_true",
+                    help="score the EMA params (tokenizer eval; requires a "
+                    "checkpoint trained with optimizer.ema_decay)")
     pe.set_defaults(fn=_eval)
 
     pk = sub.add_parser(
