@@ -187,8 +187,9 @@ class GenieModelConfig:
     tokenizer_ckpt: Optional[str] = None
     # Latent action model
     latent_action: Dict[str, Any] = field(default_factory=dict)
-    # Dynamics model
+    # Dynamics model (optionally staged-pretrained via `train dynamics`)
     dynamics: Dict[str, Any] = field(default_factory=dict)
+    dynamics_ckpt: Optional[str] = None
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
 
     @classmethod
@@ -212,6 +213,7 @@ class GenieModelConfig:
             tokenizer_ckpt=raw.get("tokenizer_ckpt"),
             latent_action=act,
             dynamics=dyn,
+            dynamics_ckpt=raw.get("dynamics_ckpt"),
             optimizer=OptimizerConfig.from_raw(raw.get("optimizer")),
         )
 

@@ -335,6 +335,10 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     # Frozen pre-trained tokenizer: restore weights, mask out of optimizer.
     if mcfg.tokenizer_ckpt:
         state = _load_tokenizer_into_genie(state, mcfg.tokenizer_ckpt)
+    # Staged-pretrained dynamics ('train dynamics' on token shards): warm
+    # start the dynamics trunk, then keep training it jointly.
+    if mcfg.dynamics_ckpt:
+        state = _load_dynamics_into_genie(state, mcfg.dynamics_ckpt)
     mask = frozen_param_mask(state.params, ("model/tokenizer_",))
     optimizer = make_optimizer(
         **_opt_kwargs(mcfg.optimizer), frozen_mask=mask,
@@ -418,6 +422,29 @@ def train_dynamics(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         state, step_fn, loader, tcfg, start_step,
         val_fn=val_fn, val_loader=val_loader,
     )
+
+
+def _load_dynamics_into_genie(state: TrainState, ckpt: str) -> TrainState:
+    """Copy `model/...` params from a `train dynamics` checkpoint into
+    `model/dynamics_/...` of a Genie train state (staged warm start)."""
+    import flax
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(os.path.abspath(ckpt)) as mgr:
+        step = mgr.latest_step()
+        assert step is not None, f"No checkpoint found at {ckpt}"
+        restored = mgr.restore(step)
+    dyn_params = restored["params"]["model"]
+
+    params = flax.core.unfreeze(state.params)
+    want = jax.tree.structure(params["model"]["dynamics_"])
+    got = jax.tree.structure(dyn_params)
+    assert want == got, (
+        f"dynamics checkpoint tree does not match the genie dynamics "
+        f"config: {got} vs {want}"
+    )
+    params["model"]["dynamics_"] = jax.tree.map(jnp.asarray, dyn_params)
+    return state.replace(params=params)
 
 
 def _load_tokenizer_into_genie(state: TrainState, ckpt: str) -> TrainState:

@@ -88,3 +88,91 @@ def test_train_dynamics_on_token_shards(tmp_path):
 
     assert os.path.isdir(tmp_path / "ckpt" / "2")
     assert os.path.exists(tmp_path / "ckpt" / "config.yaml")
+
+
+def test_staged_dynamics_warm_starts_genie(tmp_path):
+    """`train dynamics` checkpoint -> Genie via `dynamics_ckpt`: the
+    staged recipe's hand-off. The genie train state's dynamics subtree
+    must equal the staged checkpoint's params exactly after loading."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.train.config import (
+        DataConfig,
+        DynamicsModelConfig,
+        ExperimentConfig,
+        TrainerConfig,
+    )
+    from open_genie_tpu.train.loop import create_train_state, make_optimizer
+    from open_genie_tpu.train.losses import GenieTrainModule
+    from open_genie_tpu.train.trainer import (
+        _load_dynamics_into_genie,
+        train_dynamics,
+    )
+
+    dyn_kwargs = dict(
+        desc=(("space-time_attn",
+               {"n_rep": 1, "n_embd": 16, "n_head": 2, "d_head": 8}),),
+        embed_dim=16,
+    )
+    # Vocabs must match the genie side: 2^d_codebook of tokenizer/action.
+    _write_shards(tmp_path / "tokens", n=2, split="train")
+    dyn_cfg = ExperimentConfig(
+        model=DynamicsModelConfig(dynamics=dyn_kwargs, tok_vocab=16, act_vocab=4),
+        data=DataConfig(source="tokens", root=str(tmp_path / "tokens"),
+                        batch_size=2, num_workers=1),
+        trainer=TrainerConfig(
+            max_steps=1, precision="32", log_every_n_steps=1,
+            ckpt_dir=str(tmp_path / "dyn_ckpt"), ckpt_every_n_steps=1,
+            log_dir=str(tmp_path / "dyn_logs"), n_data=1,
+        ),
+    )
+    dyn_state = train_dynamics(dyn_cfg)
+    want = flax.traverse_util.flatten_dict(
+        jax.device_get(dyn_state.params["model"])
+    )
+
+    genie_kwargs = dict(
+        tokenizer=dict(
+            enc_desc=(
+                ("spacetime_downsample", {
+                    "in_channels": 3, "kernel_size": 3, "out_channels": 8,
+                    "time_factor": 1, "space_factor": 4,
+                }),
+                ("causal-conv3d", {"in_channels": 8, "out_channels": 4,
+                                   "kernel_size": 1}),
+            ),
+            dec_desc=(
+                ("causal-conv3d", {"in_channels": 4, "out_channels": 8,
+                                   "kernel_size": 3}),
+                ("depth2spacetime_upsample", {
+                    "in_channels": 8, "out_channels": 3, "kernel_size": 3,
+                    "time_factor": 1, "space_factor": 4,
+                }),
+            ),
+            d_codebook=4,
+        ),
+        latent_action=dict(
+            enc_desc=(("space-time_attn",
+                       {"n_rep": 1, "n_embd": 8, "n_head": 1, "d_head": 8}),),
+            dec_desc=(("space-time_attn", {
+                "n_rep": 1, "n_embd": 8, "n_head": 1, "d_head": 8,
+                "has_ext": True, "time_attn_kw": {"key_dim": 2},
+            }),),
+            d_codebook=2, n_embd=8, inp_shape=(16, 16),
+        ),
+        dynamics=dyn_kwargs,
+    )
+    module = GenieTrainModule(genie=genie_kwargs)
+    sample = jnp.zeros((1, 4, 16, 16, 3), jnp.float32)
+    state = create_train_state(
+        module, sample, jax.random.PRNGKey(0), make_optimizer(),
+    )
+    state = _load_dynamics_into_genie(state, str(tmp_path / "dyn_ckpt"))
+    got = flax.traverse_util.flatten_dict(
+        jax.device_get(state.params["model"]["dynamics_"])
+    )
+    assert got.keys() == want.keys()
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
