@@ -57,40 +57,28 @@ def _tokenize_data(args):
     genie_kwargs = genie_model_kwargs(cfg.model)
     module = GenieTrainModule(genie=genie_kwargs)
     key = jax.random.PRNGKey(cfg.trainer.seed)
-    probe = build_dataset(cfg.data, split="train")[0]
-    sample = jnp.zeros((1,) + tuple(probe.shape), jnp.float32)
-    state = create_train_state(
-        module, sample, key, make_optimizer(),
-        init_kwargs={"method": module.full_init},
-    )
-    params = state.params
-    if args.ckpt:
-        params, step = restore_params(args.ckpt, params)
-        print(f"# restored checkpoint step {step} from {args.ckpt}")
-
     genie = Genie(**genie_kwargs)
-
-    def _tok(m, video):
-        tokens = m.tokenize_prompt(video)
-        act_idxs, _, _ = m.latent_action_(video, training=False)
-        t_tok, t_act = tokens.shape[1], act_idxs.shape[1]
-        if t_act != t_tok:  # time-compressing tokenizer: subsample actions
-            ratio = t_act // t_tok
-            act_idxs = act_idxs[:, ::ratio][:, :t_tok]
-        return tokens, act_idxs
-
     tok_fn = jax.jit(
-        lambda p, v: genie.apply(p, v, method=_tok)
+        lambda p, v: genie.apply(p, v, method=genie.tokenize_with_actions)
     )
 
-    import os
-
+    params = None
     for split in args.splits.split(","):
         try:
             dataset = build_dataset(cfg.data, split=split)
         except FileNotFoundError:
             print(f"# split {split!r}: no source data, skipped")
             continue
+        if params is None:  # template from the first available split
+            sample = jnp.zeros((1,) + tuple(dataset[0].shape), jnp.float32)
+            state = create_train_state(
+                module, sample, key, make_optimizer(),
+                init_kwargs={"method": module.full_init},
+            )
+            params = state.params
+            if args.ckpt:
+                params, step = restore_params(args.ckpt, params)
+                print(f"# restored checkpoint step {step} from {args.ckpt}")
         n = len(dataset) if args.limit is None else min(args.limit, len(dataset))
         for i in range(n):
             video = jnp.asarray(np.asarray(dataset[i]))[None]
@@ -345,14 +333,45 @@ def _eval_genie(args):
 
     key = jax.random.PRNGKey(cfg.trainer.seed)
     sample = jnp.zeros(_sample_batch_shape(dataset, cfg), jnp.float32)
-    state = create_train_state(
-        module, sample, key, make_optimizer(),
-        init_kwargs={"method": module.full_init},
-    )
-    params = state.params
-    if args.ckpt:
-        params, step = restore_params(args.ckpt, params)
-        print(f"# restored checkpoint step {step} from {args.ckpt}")
+
+    if args.ckpt and getattr(args, "ema", False):
+        # Replicate train_genie's optimizer layout (frozen-tokenizer mask,
+        # schedules/accum from the same config) so the full-state restore
+        # matches, then read the EMA tree from the optimizer state.
+        from open_genie_tpu.train.loop import (
+            get_ema_params,
+            restore_checkpoint,
+        )
+        from open_genie_tpu.train.losses import frozen_param_mask
+        from open_genie_tpu.train.trainer import _opt_kwargs
+
+        opt = make_optimizer(**_opt_kwargs(cfg.model.optimizer))
+        state = create_train_state(
+            module, sample, key, opt,
+            init_kwargs={"method": module.full_init},
+        )
+        mask = frozen_param_mask(state.params, ("model/tokenizer_",))
+        opt = make_optimizer(
+            **_opt_kwargs(cfg.model.optimizer), frozen_mask=mask,
+        )
+        state = state.replace(opt_state=opt.init(state.params))
+        state, step = restore_checkpoint(args.ckpt, state)
+        ema = get_ema_params(state.opt_state)
+        assert ema is not None, (
+            "--ema: checkpoint carries no parameter EMA "
+            "(train with model.optimizer.ema_decay set)"
+        )
+        params = ema
+        print(f"# restored EMA params at step {step} from {args.ckpt}")
+    else:
+        state = create_train_state(
+            module, sample, key, make_optimizer(),
+            init_kwargs={"method": module.full_init},
+        )
+        params = state.params
+        if args.ckpt:
+            params, step = restore_params(args.ckpt, params)
+            print(f"# restored checkpoint step {step} from {args.ckpt}")
 
     genie = Genie(**genie_kwargs)
     report = evaluate_genie(
@@ -474,8 +493,8 @@ def main(argv=None):
     pe.add_argument("--split", default="val")
     pe.add_argument("--max-batches", dest="max_batches", type=int, default=16)
     pe.add_argument("--ema", action="store_true",
-                    help="score the EMA params (tokenizer eval; requires a "
-                    "checkpoint trained with optimizer.ema_decay)")
+                    help="score the EMA params (requires a checkpoint "
+                    "trained with optimizer.ema_decay)")
     pe.set_defaults(fn=_eval)
 
     pk = sub.add_parser(

@@ -62,13 +62,26 @@ class TokenClipDataset:
         )
         if not self.files:
             raise FileNotFoundError(f"no .npz token shards under {base}")
-        # All shards must agree on shape (static shapes under jit).
-        first = self[0]
-        self.item_shapes = {k: v.shape for k, v in first.items()}
+        # All shards must agree on shape (static shapes under jit); shapes
+        # are checked per access against shard 0 so a stale mixed-config
+        # shard fails with ITS filename, not as an np.stack error inside a
+        # loader worker thread mid-epoch.
+        self.item_shapes = {k: v.shape for k, v in self._load(0).items()}
 
     def __len__(self) -> int:
         return len(self.files)
 
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+    def _load(self, idx: int) -> Dict[str, np.ndarray]:
         with np.load(self.files[idx]) as z:
             return {"tokens": z["tokens"], "actions": z["actions"]}
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        item = self._load(idx)
+        shapes = {k: v.shape for k, v in item.items()}
+        if shapes != self.item_shapes:
+            raise ValueError(
+                f"token shard {self.files[idx]} has shapes {shapes}, but "
+                f"this dataset's shards are {self.item_shapes} -- mixed "
+                "tokenize-data outputs in one directory?"
+            )
+        return item

@@ -101,9 +101,11 @@ def maskgit_commit(
     """
     b, hw, v = logits.shape
     logits = logits.astype(jnp.float32) / temp
-    if top_k is not None and top_k < v:
-        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_k is not None:
+        assert top_k >= 1, f"top_k must be >= 1, got {top_k}"
+        if top_k < v:
+            kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
     pred = jax.random.categorical(key, logits, axis=-1)  # (B, HW)
     logp = jnp.take_along_axis(logits, pred[..., None], axis=-1)[..., 0]
     conf = logp - jax.scipy.special.logsumexp(logits, axis=-1)

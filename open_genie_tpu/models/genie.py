@@ -83,13 +83,7 @@ class Genie(nn.Module):
             video, training=training
         )  # (B, T)
         act_idxs_full = act_idxs
-
-        # Align action time axis to the token time axis.
-        t_tok = tok_idxs.shape[1]
-        t_act = act_idxs.shape[1]
-        if t_act != t_tok:
-            ratio = t_act // t_tok
-            act_idxs = act_idxs[:, ::ratio][:, :t_tok]
+        act_idxs = self.align_actions(act_idxs, tok_idxs.shape[1])
 
         dyn_loss, dyn_aux = self.dynamics_.compute_loss(
             tok_idxs, lax.stop_gradient(act_idxs), key, train=training
@@ -105,6 +99,26 @@ class Genie(nn.Module):
         if return_act_idxs:
             aux["act_idxs"] = act_idxs_full
         return loss, aux
+
+    @staticmethod
+    def align_actions(act_idxs: jnp.ndarray, t_tok: int) -> jnp.ndarray:
+        """Subsample per-input-frame action ids to the token time axis
+        (time-compressing tokenizers yield fewer token frames). The single
+        source of the alignment rule, shared by `compute_loss` and the
+        `tokenize-data` shard writer -- cached shards must carry exactly
+        the actions joint training would see."""
+        t_act = act_idxs.shape[1]
+        if t_act != t_tok:
+            ratio = t_act // t_tok
+            act_idxs = act_idxs[:, ::ratio][:, :t_tok]
+        return act_idxs
+
+    def tokenize_with_actions(self, video: jnp.ndarray):
+        """Frozen-model inference for shard caching: `(B,T,H,W,C)` video ->
+        `(B,T',H',W')` tokens + `(B,T')` token-time-aligned action ids."""
+        tokens = self.tokenize_prompt(video)
+        act_idxs, _, _ = self.latent_action_(video, training=False)
+        return tokens, self.align_actions(act_idxs, tokens.shape[1])
 
     def init_full(self, video: jnp.ndarray, key: jax.Array):
         """Initialization-only path touching every parameter: the joint

@@ -91,7 +91,21 @@ class OptimizerConfig:
                 lr=float(args.get("lr", 1e-3)),
                 weight_decay=float(args.get("weight_decay", 0.01)),
             )
-        return cls(**{k: v for k, v in raw.items() if k in cls.__dataclass_fields__})
+        known = {k: v for k, v in raw.items() if k in cls.__dataclass_fields__}
+        # YAML parses '3e-4' (no dot) as a STRING; coerce numeric fields so
+        # exponent-form literals in configs don't crash the optimizer.
+        for k in ("lr", "weight_decay", "b1", "b2", "end_lr_scale"):
+            if k in known:
+                known[k] = float(known[k])
+        for k in ("grad_clip", "ema_decay"):
+            if known.get(k) is not None:
+                known[k] = float(known[k])
+        for k in ("warmup_steps", "accum_steps"):
+            if k in known:
+                known[k] = int(known[k])
+        if known.get("decay_steps") is not None:
+            known["decay_steps"] = int(known["decay_steps"])
+        return cls(**known)
 
     def schedule(self):
         """Resolve to a float (constant) or an optax schedule."""

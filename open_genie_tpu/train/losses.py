@@ -177,7 +177,11 @@ class DynamicsTrainModule(nn.Module):
         loss, aux = self.model.compute_loss(
             batch["tokens"], batch["actions"], key, train=train
         )
-        return loss, {"dyn_loss": loss, **{f"dyn_{k}": v for k, v in aux.items()}}
+        # 'loss' must be present in VAL metrics too: the loop's best-
+        # checkpoint monitor defaults to val_loss (train metrics get it
+        # injected by make_train_step, validation does not).
+        return loss, {"loss": loss, "dyn_loss": loss,
+                      **{f"dyn_{k}": v for k, v in aux.items()}}
 
 
 def frozen_param_mask(params, frozen_prefixes: Tuple[str, ...]):

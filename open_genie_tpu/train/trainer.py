@@ -437,11 +437,25 @@ def _load_dynamics_into_genie(state: TrainState, ckpt: str) -> TrainState:
     dyn_params = restored["params"]["model"]
 
     params = flax.core.unfreeze(state.params)
-    want = jax.tree.structure(params["model"]["dynamics_"])
-    got = jax.tree.structure(dyn_params)
-    assert want == got, (
-        f"dynamics checkpoint tree does not match the genie dynamics "
-        f"config: {got} vs {want}"
+    want = params["model"]["dynamics_"]
+    assert jax.tree.structure(want) == jax.tree.structure(dyn_params), (
+        "dynamics checkpoint tree does not match the genie dynamics config"
+    )
+    # Leaf shapes too: identical trees with different vocab/width (e.g.
+    # staged tok_vocab != 2^d_codebook of the genie tokenizer) would load
+    # silently and corrupt training via clamped embedding gathers.
+    mismatched = [
+        str(path)
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(want)[0],
+            jax.tree.leaves(dyn_params),
+        )
+        if tuple(a.shape) != tuple(np.shape(b))
+    ]
+    assert not mismatched, (
+        "dynamics checkpoint param shapes do not match the genie dynamics "
+        f"config (check tok_vocab/act_vocab vs the genie codebooks): "
+        f"{mismatched[:5]}"
     )
     params["model"]["dynamics_"] = jax.tree.map(jnp.asarray, dyn_params)
     return state.replace(params=params)
