@@ -176,3 +176,48 @@ def test_staged_dynamics_warm_starts_genie(tmp_path):
     assert got.keys() == want.keys()
     for k in want:
         np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_dynamics_dict_batches_shard_over_mesh():
+    """Dict batches (token shards) train on a multi-device DP mesh: the
+    sharding maps over pytree leaves and int leaves survive the bf16
+    cast."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        place_batch,
+    )
+    from open_genie_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        shard_state,
+    )
+    from open_genie_tpu.train.losses import DynamicsTrainModule
+
+    module = DynamicsTrainModule(dynamics=dict(
+        desc=(("space-time_attn",
+               {"n_rep": 1, "n_embd": 16, "n_head": 2, "d_head": 8}),),
+        embed_dim=16, tok_vocab=16, act_vocab=4,
+    ))
+    mesh = make_mesh()  # 8 virtual CPU devices
+    assert mesh.shape["data"] == 8
+
+    key = jax.random.PRNGKey(0)
+    batch = {
+        "tokens": jax.random.randint(key, (8, 3, 4, 4), 0, 16),
+        "actions": jax.random.randint(key, (8, 3), 0, 4),
+    }
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(module, batch, key, opt)
+    state = shard_state(state, mesh)
+    step = make_train_step(module, opt, mesh=mesh, compute_dtype=jnp.bfloat16)
+
+    placed = place_batch(batch, batch_sharding(mesh))
+    assert placed["tokens"].dtype == jnp.int32  # ints survived placement
+    state2, metrics = step(state, placed)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
