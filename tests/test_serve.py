@@ -148,3 +148,43 @@ def test_session_unbounded_rebase(genie_and_params):
             keep = post.shape[1] - 1  # everything but the new frame
             np.testing.assert_array_equal(post[:, :keep], pre[:, -keep:])
     assert sess._rebases >= 2
+
+
+def test_session_rebase_with_video_prompt_and_actions(genie_and_params):
+    """Multi-frame prompt with explicit prompt_actions: the action history
+    bookkeeping survives rebases (kept window = prompt + generated
+    frames, actions re-committed in order)."""
+    model, params = genie_and_params
+    sess = InteractiveSession(
+        model, params, max_frames=2, steps_per_frame=2, pixel_window=2
+    )
+    prompt = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(9), (1, 2, H, W, 3))
+    )
+    first = sess.reset(prompt, seed=1, prompt_actions=np.array([[1, 2]]))
+    assert first.shape[1] == 2  # time-preserving tokenizer: 2 token frames
+    assert len(sess._acts) == 2
+    for i in range(5):  # forces 2+ rebases at a 2-frame horizon
+        f = sess.step(i % 3)
+        assert np.isfinite(f).all()
+    assert sess._rebases >= 2
+    # history length stays bounded by keep + horizon
+    assert len(sess._acts) <= sess._keep + sess.max_frames
+
+
+def test_session_top_k_greedy_is_key_independent(genie_and_params):
+    """top_k=1 sessions are greedy: two sessions with different seeds but
+    the same actions produce identical token streams."""
+    model, params = genie_and_params
+    prompt = np.zeros((1, 1, H, W, 3), np.float32)
+    streams = []
+    for seed in (0, 123):
+        sess = InteractiveSession(
+            model, params, max_frames=3, steps_per_frame=2,
+            pixel_window=2, top_k=1,
+        )
+        sess.reset(prompt, seed=seed)
+        for a in (0, 1, 0):
+            sess.step(a)
+        streams.append(np.asarray(sess.tokens))
+    np.testing.assert_array_equal(streams[0], streams[1])
