@@ -99,31 +99,20 @@ def _generate(args):
 
     from open_genie_tpu.data.video import SyntheticVideo, write_mp4
     from open_genie_tpu.train.config import load_config
-    from open_genie_tpu.train.loop import restore_params
     from open_genie_tpu.train.losses import GenieTrainModule
-
-    from open_genie_tpu.train.trainer import genie_model_kwargs
+    from open_genie_tpu.train.trainer import load_genie_params
 
     cfg = load_config(args.config, kind="genie")
-    module = GenieTrainModule(genie=genie_model_kwargs(cfg.model))
     key = jax.random.PRNGKey(args.seed)
     prompt = jnp.asarray(
         SyntheticVideo(num_frames=1, height=args.size, width=args.size)[0]
     )[None]
 
     sample = jnp.zeros((1, 4, args.size, args.size, 3), jnp.float32)
-    from open_genie_tpu.train.loop import create_train_state, make_optimizer
-
-    # Template must carry the FULL param tree (incl. the pixel decoder) to
-    # match training checkpoints; only params are restored (the optimizer
-    # layout is a training-time detail).
-    state = create_train_state(
-        module, sample, key, make_optimizer(),
-        init_kwargs={"method": module.full_init},
+    genie_kwargs, params, _ = load_genie_params(
+        cfg, sample, ckpt=args.ckpt, use_ema=getattr(args, "ema", False),
     )
-    params = state.params
-    if args.ckpt:
-        params, _ = restore_params(args.ckpt, params)
+    module = GenieTrainModule(genie=genie_kwargs)
 
     actions = jax.random.randint(key, (1, args.frames + 1), 0, 2)
     video = module.apply(
@@ -154,27 +143,13 @@ def _play(args):
     from open_genie_tpu.models.genie import Genie
     from open_genie_tpu.serve import InteractiveSession
     from open_genie_tpu.train.config import load_config
-    from open_genie_tpu.train.loop import (
-        create_train_state,
-        make_optimizer,
-        restore_params,
-    )
-    from open_genie_tpu.train.losses import GenieTrainModule
-
-    from open_genie_tpu.train.trainer import genie_model_kwargs
+    from open_genie_tpu.train.trainer import load_genie_params
 
     cfg = load_config(args.config, kind="genie")
-    genie_kwargs = genie_model_kwargs(cfg.model)
-    module = GenieTrainModule(genie=genie_kwargs)
-    key = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((1, 4, args.size, args.size, 3), jnp.float32)
-    state = create_train_state(
-        module, sample, key, make_optimizer(),
-        init_kwargs={"method": module.full_init},
+    genie_kwargs, params, _ = load_genie_params(
+        cfg, sample, ckpt=args.ckpt, use_ema=getattr(args, "ema", False),
     )
-    params = state.params
-    if args.ckpt:
-        params, _ = restore_params(args.ckpt, params)
 
     genie = Genie(**genie_kwargs)
     sess = InteractiveSession(
@@ -325,53 +300,21 @@ def _eval_genie(args):
     from open_genie_tpu.parallel.mesh import make_mesh
 
     cfg = load_config(args.config, kind="genie")
-    genie_kwargs = genie_model_kwargs(cfg.model)
-    module = GenieTrainModule(genie=genie_kwargs)
     dataset = build_dataset(cfg.data, split=args.split)
     mesh = make_mesh(n_data=1, n_model=1)
     loader = build_loader(cfg, dataset, mesh, cfg.trainer, split=args.split)
 
     key = jax.random.PRNGKey(cfg.trainer.seed)
     sample = jnp.zeros(_sample_batch_shape(dataset, cfg), jnp.float32)
+    from open_genie_tpu.train.trainer import load_genie_params
 
-    if args.ckpt and getattr(args, "ema", False):
-        # Replicate train_genie's optimizer layout (frozen-tokenizer mask,
-        # schedules/accum from the same config) so the full-state restore
-        # matches, then read the EMA tree from the optimizer state.
-        from open_genie_tpu.train.loop import (
-            get_ema_params,
-            restore_checkpoint,
-        )
-        from open_genie_tpu.train.losses import frozen_param_mask
-        from open_genie_tpu.train.trainer import _opt_kwargs
-
-        opt = make_optimizer(**_opt_kwargs(cfg.model.optimizer))
-        state = create_train_state(
-            module, sample, key, opt,
-            init_kwargs={"method": module.full_init},
-        )
-        mask = frozen_param_mask(state.params, ("model/tokenizer_",))
-        opt = make_optimizer(
-            **_opt_kwargs(cfg.model.optimizer), frozen_mask=mask,
-        )
-        state = state.replace(opt_state=opt.init(state.params))
-        state, step = restore_checkpoint(args.ckpt, state)
-        ema = get_ema_params(state.opt_state)
-        assert ema is not None, (
-            "--ema: checkpoint carries no parameter EMA "
-            "(train with model.optimizer.ema_decay set)"
-        )
-        params = ema
-        print(f"# restored EMA params at step {step} from {args.ckpt}")
-    else:
-        state = create_train_state(
-            module, sample, key, make_optimizer(),
-            init_kwargs={"method": module.full_init},
-        )
-        params = state.params
-        if args.ckpt:
-            params, step = restore_params(args.ckpt, params)
-            print(f"# restored checkpoint step {step} from {args.ckpt}")
+    use_ema = getattr(args, "ema", False)
+    genie_kwargs, params, step = load_genie_params(
+        cfg, sample, ckpt=args.ckpt, use_ema=use_ema,
+    )
+    if args.ckpt:
+        kind = "EMA params" if use_ema else "checkpoint"
+        print(f"# restored {kind} step {step} from {args.ckpt}")
 
     genie = Genie(**genie_kwargs)
     report = evaluate_genie(
@@ -460,6 +403,8 @@ def main(argv=None):
     pg.add_argument("--steps-per-frame", type=int, default=25)
     pg.add_argument("--top-k", dest="top_k", type=int, default=None,
                     help="restrict sampling to the top-k logits (1 = greedy)")
+    pg.add_argument("--ema", action="store_true",
+                    help="use the checkpoint's EMA params")
     pg.add_argument("--size", type=int, default=64)
     pg.add_argument("--seed", type=int, default=0)
     pg.add_argument("--out", default="rollout.mp4")
@@ -478,6 +423,8 @@ def main(argv=None):
     pp.add_argument("--pixel-window", dest="pixel_window", type=int, default=4)
     pp.add_argument("--top-k", dest="top_k", type=int, default=None,
                     help="restrict sampling to the top-k logits (1 = greedy)")
+    pp.add_argument("--ema", action="store_true",
+                    help="use the checkpoint's EMA params")
     pp.add_argument("--seed", type=int, default=0)
     pp.add_argument("--out", default="session.mp4")
     pp.set_defaults(fn=_play)

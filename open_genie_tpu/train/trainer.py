@@ -223,6 +223,55 @@ def genie_model_kwargs(mcfg: GenieModelConfig) -> dict:
     )
 
 
+def load_genie_params(cfg: ExperimentConfig, sample, ckpt=None,
+                      use_ema: bool = False):
+    """Template-build a Genie and restore checkpoint params for inference.
+
+    The single restore path behind `generate`, `play`, and `eval genie`:
+    builds the FULL train-module param tree (incl. the pixel decoder) so
+    training checkpoints restore cleanly, and with `use_ema` rebuilds the
+    training-time optimizer layout (schedules/accum/frozen-tokenizer
+    mask) to read the EMA tree out of the optimizer state.
+
+    Returns `(genie_kwargs, params, step)`; `params` is the train-module
+    tree (the bare Genie's subtree is `params["model"]`).
+    """
+    from open_genie_tpu.train.loop import get_ema_params, restore_params
+
+    mcfg: GenieModelConfig = cfg.model
+    genie_kwargs = genie_model_kwargs(mcfg)
+    module = GenieTrainModule(genie=genie_kwargs)
+    key = jax.random.PRNGKey(cfg.trainer.seed)
+
+    if ckpt and use_ema:
+        opt = make_optimizer(**_opt_kwargs(mcfg.optimizer))
+        state = create_train_state(
+            module, sample, key, opt,
+            init_kwargs={"method": module.full_init},
+        )
+        mask = frozen_param_mask(state.params, ("model/tokenizer_",))
+        opt = make_optimizer(
+            **_opt_kwargs(mcfg.optimizer), frozen_mask=mask,
+        )
+        state = state.replace(opt_state=opt.init(state.params))
+        state, step = restore_checkpoint(ckpt, state)
+        ema = get_ema_params(state.opt_state)
+        assert ema is not None, (
+            "--ema: checkpoint carries no parameter EMA "
+            "(train with model.optimizer.ema_decay set)"
+        )
+        return genie_kwargs, ema, step
+
+    state = create_train_state(
+        module, sample, key, make_optimizer(),
+        init_kwargs={"method": module.full_init},
+    )
+    params, step = state.params, 0
+    if ckpt:
+        params, step = restore_params(ckpt, params)
+    return genie_kwargs, params, step
+
+
 def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     mcfg: TokenizerModelConfig = cfg.model
     tcfg = cfg.trainer
