@@ -285,17 +285,11 @@ def _eval_genie(args):
     from open_genie_tpu.eval import evaluate_genie
     from open_genie_tpu.models.genie import Genie
     from open_genie_tpu.train.config import load_config
-    from open_genie_tpu.train.loop import (
-        create_train_state,
-        make_optimizer,
-        restore_params,
-    )
-    from open_genie_tpu.train.losses import GenieTrainModule
     from open_genie_tpu.train.trainer import (
         _sample_batch_shape,
         build_dataset,
         build_loader,
-        genie_model_kwargs,
+        load_genie_params,
     )
     from open_genie_tpu.parallel.mesh import make_mesh
 
@@ -306,8 +300,6 @@ def _eval_genie(args):
 
     key = jax.random.PRNGKey(cfg.trainer.seed)
     sample = jnp.zeros(_sample_batch_shape(dataset, cfg), jnp.float32)
-    from open_genie_tpu.train.trainer import load_genie_params
-
     use_ema = getattr(args, "ema", False)
     genie_kwargs, params, step = load_genie_params(
         cfg, sample, ckpt=args.ckpt, use_ema=use_ema,
