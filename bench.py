@@ -381,6 +381,7 @@ def main():
         # it only once every mandatory section has reported and >500s of
         # budget remain, keeping the better number.
         if results.get("tokenizer_train_fps") and not args.quick \
+                and (args.train_batch, args.train_frames) != (4, 8) \
                 and time.monotonic() < deadline - 520:
             big = list(passthru)
             big[big.index("--train-batch") + 1] = "4"

@@ -236,30 +236,17 @@ def _eval(args):
     key = jax.random.PRNGKey(cfg.trainer.seed)
     sample = jnp.zeros(_sample_batch_shape(dataset, cfg), jnp.float32)
 
+    assert not (args.ema and not args.ckpt), (
+        "--ema requires --ckpt (there is no EMA without a checkpoint)"
+    )
     if args.ckpt and args.ema:
-        # EMA params live in the optimizer state, so the optimizer layout
-        # must replicate training exactly (same config: schedules, accum,
-        # and the VGG freeze mask) for the full-state restore to match.
-        from open_genie_tpu.train.loop import (
-            get_ema_params,
-            restore_checkpoint,
-        )
-        from open_genie_tpu.train.losses import frozen_param_mask
-        from open_genie_tpu.train.trainer import _opt_kwargs
+        from open_genie_tpu.train.trainer import _opt_kwargs, restore_ema_params
 
-        opt = make_optimizer(**_opt_kwargs(mcfg.optimizer))
-        state = create_train_state(module, sample, key, opt)
-        if mcfg.perc_loss_weight > 0:
-            mask = frozen_param_mask(state.params, ("perc_crit",))
-            opt = make_optimizer(**_opt_kwargs(mcfg.optimizer), frozen_mask=mask)
-            state = state.replace(opt_state=opt.init(state.params))
-        state, step = restore_checkpoint(args.ckpt, state)
-        ema = get_ema_params(state.opt_state)
-        assert ema is not None, (
-            "--ema: checkpoint carries no parameter EMA "
-            "(train with model.optimizer.ema_decay set)"
+        frozen = ("perc_crit",) if mcfg.perc_loss_weight > 0 else ()
+        params, step = restore_ema_params(
+            module, sample, key, _opt_kwargs(mcfg.optimizer), frozen,
+            args.ckpt,
         )
-        params = ema
         print(f"# restored EMA params at step {step} from {args.ckpt}")
     else:
         state = create_train_state(module, sample, key, make_optimizer())

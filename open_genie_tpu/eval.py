@@ -72,6 +72,10 @@ def ssim(
         pred = pred.reshape((-1,) + pred.shape[2:])
         target = target.reshape((-1,) + target.shape[2:])
 
+    # Clamp the window to the image: VALID convs on inputs smaller than
+    # 11x11 (tiny smoke configs) would trace a negative output dim.
+    window = min(window, pred.shape[1], pred.shape[2])
+
     c1 = (0.01 * max_val) ** 2
     c2 = (0.03 * max_val) ** 2
     mu_p = _ssim_blur(pred, window, sigma)

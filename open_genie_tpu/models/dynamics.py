@@ -268,6 +268,7 @@ class DynamicsModel(nn.Module):
         temp: float = 1.0,
         masked_tok: int = 0,
         use_cache: bool = True,
+        top_k: Optional[int] = None,
     ) -> jnp.ndarray:
         """Append one frame via iterative confidence-based masked decoding.
 
@@ -287,7 +288,8 @@ class DynamicsModel(nn.Module):
         if use_cache:
             try:
                 return self._generate_cached(
-                    tokens, act_id, key, steps, which, temp, masked_tok
+                    tokens, act_id, key, steps, which, temp, masked_tok,
+                    top_k,
                 )
             except AssertionError:
                 pass  # non-ST-attention trunk: full-forward fallback
@@ -313,7 +315,8 @@ class DynamicsModel(nn.Module):
             grid = buf.at[:, -1].set(frame)
             logits = self(grid, acts)[:, -1]  # (B, H, W, V)
             mask, code = maskgit_commit(
-                k, logits.reshape(b, h * w, -1), mask, code, num_tokens, temp
+                k, logits.reshape(b, h * w, -1), mask, code, num_tokens,
+                temp, top_k=top_k,
             )
             return (mask, code), None
 
@@ -321,7 +324,8 @@ class DynamicsModel(nn.Module):
         return buf.at[:, -1].set(code.reshape(b, h, w))
 
     def _generate_cached(
-        self, tokens, act_id, key, steps, which, temp, masked_tok
+        self, tokens, act_id, key, steps, which, temp, masked_tok,
+        top_k=None,
     ) -> jnp.ndarray:
         """Cache-backed `generate`: prefill the history once, then refine
         only the new frame (the reference re-forwards the full sequence
@@ -353,7 +357,8 @@ class DynamicsModel(nn.Module):
             frame = jnp.where(mask, masked_tok, code).reshape(b, h, w)
             logits, _ = self.decode_frame(frame, act_new, cache, t)
             mask, code = maskgit_commit(
-                k, logits.reshape(b, h * w, -1), mask, code, num_tokens, temp
+                k, logits.reshape(b, h * w, -1), mask, code, num_tokens,
+                temp, top_k=top_k,
             )
             return (mask, code), None
 

@@ -87,12 +87,16 @@ class InteractiveSession:
                 buf, jnp.maximum(t - w, 0), w, axis=1
             )
             pixels = genie.apply(p, window, method=genie.decode_window)
-            # The newest generated frame sits at min(t, w) - 1 inside the
-            # clamped window: for t < w the window starts at 0 and extends
-            # PAST t into not-yet-generated zero frames, so the last window
-            # slot is not the new frame.
+            # The newest generated TOKEN frame sits at min(t, w) - 1 inside
+            # the clamped window: for t < w the window starts at 0 and
+            # extends PAST t into not-yet-generated zero frames, so the
+            # last window slot is not the new frame. Time-expanding
+            # decoders emit `tf` pixel frames per token frame (tf static
+            # from the traced shapes); the step's display frame is the
+            # newest token frame's LAST pixel sub-frame.
+            tf = pixels.shape[1] // w
             return jax.lax.dynamic_index_in_dim(
-                pixels, jnp.minimum(t, w) - 1, axis=1, keepdims=False
+                pixels, jnp.minimum(t, w) * tf - 1, axis=1, keepdims=False
             )
 
         self._decode_last = jax.jit(_decode_last)

@@ -223,6 +223,35 @@ def genie_model_kwargs(mcfg: GenieModelConfig) -> dict:
     )
 
 
+def restore_ema_params(module, sample, key, opt_kwargs, frozen_prefixes,
+                       ckpt, init_kwargs=None):
+    """Restore a checkpoint's EMA param tree.
+
+    The EMA rides in the optimizer state, so the optimizer layout must
+    replicate training exactly: same schedules/accum (`opt_kwargs` from
+    the same config) and the same freeze mask (`frozen_prefixes`). The
+    single implementation behind every `--ema` flag. Returns
+    `(ema_params, step)`.
+    """
+    from open_genie_tpu.train.loop import get_ema_params
+
+    opt = make_optimizer(**opt_kwargs)
+    state = create_train_state(
+        module, sample, key, opt, init_kwargs=init_kwargs
+    )
+    if frozen_prefixes:
+        mask = frozen_param_mask(state.params, tuple(frozen_prefixes))
+        opt = make_optimizer(**opt_kwargs, frozen_mask=mask)
+        state = state.replace(opt_state=opt.init(state.params))
+    state, step = restore_checkpoint(ckpt, state)
+    ema = get_ema_params(state.opt_state)
+    assert ema is not None, (
+        "--ema: checkpoint carries no parameter EMA "
+        "(train with model.optimizer.ema_decay set)"
+    )
+    return ema, step
+
+
 def load_genie_params(cfg: ExperimentConfig, sample, ckpt=None,
                       use_ema: bool = False):
     """Template-build a Genie and restore checkpoint params for inference.
@@ -236,29 +265,21 @@ def load_genie_params(cfg: ExperimentConfig, sample, ckpt=None,
     Returns `(genie_kwargs, params, step)`; `params` is the train-module
     tree (the bare Genie's subtree is `params["model"]`).
     """
-    from open_genie_tpu.train.loop import get_ema_params, restore_params
+    from open_genie_tpu.train.loop import restore_params
 
+    assert not (use_ema and not ckpt), (
+        "--ema requires --ckpt (there is no EMA without a checkpoint)"
+    )
     mcfg: GenieModelConfig = cfg.model
     genie_kwargs = genie_model_kwargs(mcfg)
     module = GenieTrainModule(genie=genie_kwargs)
     key = jax.random.PRNGKey(cfg.trainer.seed)
 
     if ckpt and use_ema:
-        opt = make_optimizer(**_opt_kwargs(mcfg.optimizer))
-        state = create_train_state(
-            module, sample, key, opt,
+        ema, step = restore_ema_params(
+            module, sample, key, _opt_kwargs(mcfg.optimizer),
+            ("model/tokenizer_",), ckpt,
             init_kwargs={"method": module.full_init},
-        )
-        mask = frozen_param_mask(state.params, ("model/tokenizer_",))
-        opt = make_optimizer(
-            **_opt_kwargs(mcfg.optimizer), frozen_mask=mask,
-        )
-        state = state.replace(opt_state=opt.init(state.params))
-        state, step = restore_checkpoint(ckpt, state)
-        ema = get_ema_params(state.opt_state)
-        assert ema is not None, (
-            "--ema: checkpoint carries no parameter EMA "
-            "(train with model.optimizer.ema_decay set)"
         )
         return genie_kwargs, ema, step
 
@@ -609,7 +630,9 @@ def _run_loop(
             # the next batch's host->HBM transfer overlaps the current
             # step's compute instead of serializing behind it.
             for batch in device_prefetch(loader, size=2):
-                if prof_n and step == prof_start and not tracing:
+                # >= not ==: a resume past profile_start_step still traces
+                # the next prof_n steps instead of silently never starting.
+                if prof_n and not tracing and prof_start <= step < prof_start + prof_n:
                     jax.profiler.start_trace(
                         os.path.join(tcfg.log_dir, "profile")
                     )

@@ -135,8 +135,10 @@ def test_maskgit_commit_semantics():
 
 
 def test_maskgit_commit_sampling_matches_softmax():
-    """The inverse-CDF draw is distributed as softmax(logits): empirical
-    frequencies over many positions match the analytic probabilities."""
+    """The categorical draw is distributed as softmax(logits): empirical
+    frequencies over many positions match the analytic probabilities
+    (sampler-agnostic -- held for both Gumbel-argmax and the rejected
+    inverse-CDF variant)."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -188,3 +188,60 @@ def test_session_top_k_greedy_is_key_independent(genie_and_params):
             sess.step(a)
         streams.append(np.asarray(sess.tokens))
     np.testing.assert_array_equal(streams[0], streams[1])
+
+
+def test_session_pixel_index_with_time_compressing_tokenizer():
+    """Time-expanding decoders emit `tf` pixel frames per token frame; the
+    step must return the newest token frame's LAST pixel sub-frame, not a
+    token-indexed (stale) early frame."""
+    tf = 2
+    cfg = dict(
+        tokenizer=dict(
+            enc_desc=(
+                ("spacetime_downsample", {
+                    "in_channels": 3, "kernel_size": 3, "out_channels": 8,
+                    "time_factor": tf, "space_factor": 4,
+                }),
+                ("causal-conv3d", {"in_channels": 8, "out_channels": 4,
+                                   "kernel_size": 1}),
+            ),
+            dec_desc=(
+                ("causal-conv3d", {"in_channels": 4, "out_channels": 8,
+                                   "kernel_size": 3}),
+                ("depth2spacetime_upsample", {
+                    "in_channels": 8, "out_channels": 3, "kernel_size": 3,
+                    "time_factor": tf, "space_factor": 4,
+                }),
+            ),
+            d_codebook=4,
+        ),
+        latent_action=GENIE_CFG["latent_action"],
+        dynamics=GENIE_CFG["dynamics"],
+    )
+    model = Genie(**cfg)
+    key = jax.random.PRNGKey(0)
+    video = jnp.zeros((1, 4, H, W, 3), jnp.float32)
+    params = jax.jit(
+        lambda k: model.init(k, video, k, method=model.init_full)
+    )(key)
+
+    sess = InteractiveSession(
+        model, params, max_frames=3, steps_per_frame=2, pixel_window=2
+    )
+    prompt = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(5), (1, tf, H, W, 3))
+    )
+    first = sess.reset(prompt, seed=0)
+    assert first.shape[1] == tf  # 1 token frame -> tf pixel frames
+    f = sess.step(1)
+    assert f.shape == (1, H, W, 3)
+
+    t = sess._t  # 2 token frames exist
+    w = min(2, sess._buf.shape[1])
+    start = max(t - w, 0)
+    window = sess._buf[:, start:start + w]
+    want = model.apply(params, window, method=model.decode_window)
+    assert want.shape[1] == w * tf
+    np.testing.assert_allclose(
+        f, np.asarray(want[:, min(t, w) * tf - 1]), atol=1e-5
+    )
