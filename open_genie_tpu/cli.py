@@ -201,6 +201,9 @@ def _eval(args):
     if args.what == "genie":
         _eval_genie(args)
         return
+    if args.what == "dynamics":
+        _eval_dynamics(args)
+        return
 
     import json
 
@@ -298,6 +301,67 @@ def _eval_genie(args):
     genie = Genie(**genie_kwargs)
     report = evaluate_genie(
         genie, params["model"], loader, key, max_batches=args.max_batches
+    )
+    print(json.dumps({k: round(float(v), 5) for k, v in report.items()}))
+
+
+def _eval_dynamics(args):
+    """Score a dynamics-only checkpoint on token shards (masked CE/acc)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from open_genie_tpu.eval import evaluate_dynamics
+    from open_genie_tpu.models.dynamics import DynamicsModel
+    from open_genie_tpu.train.config import load_config
+    from open_genie_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        restore_params,
+    )
+    from open_genie_tpu.train.losses import DynamicsTrainModule
+    from open_genie_tpu.train.trainer import (
+        _opt_kwargs,
+        build_dataset,
+        build_loader,
+        restore_ema_params,
+    )
+    from open_genie_tpu.parallel.mesh import make_mesh
+
+    cfg = load_config(args.config, kind="dynamics")
+    assert cfg.data.source == "tokens", (
+        "eval dynamics consumes token shards; set data.source: tokens"
+    )
+    module = DynamicsTrainModule(dynamics=cfg.model.dynamics_kwargs())
+    dataset = build_dataset(cfg.data, split=args.split)
+    mesh = make_mesh(n_data=1, n_model=1)
+    loader = build_loader(cfg, dataset, mesh, cfg.trainer, split=args.split)
+
+    key = jax.random.PRNGKey(cfg.trainer.seed)
+    item = dataset[0]
+    sample = {k: np.zeros((cfg.data.batch_size,) + v.shape, v.dtype)
+              for k, v in item.items()}
+
+    assert not (args.ema and not args.ckpt), (
+        "--ema requires --ckpt (there is no EMA without a checkpoint)"
+    )
+    if args.ckpt and args.ema:
+        params, step = restore_ema_params(
+            module, sample, key, _opt_kwargs(cfg.model.optimizer), (),
+            args.ckpt,
+        )
+        print(f"# restored EMA params at step {step} from {args.ckpt}")
+    else:
+        state = create_train_state(module, sample, key, make_optimizer())
+        params = state.params
+        if args.ckpt:
+            params, step = restore_params(args.ckpt, params)
+            print(f"# restored checkpoint step {step} from {args.ckpt}")
+
+    dynamics = DynamicsModel(**cfg.model.dynamics_kwargs())
+    report = evaluate_dynamics(
+        dynamics, params["model"], loader, key, max_batches=args.max_batches
     )
     print(json.dumps({k: round(float(v), 5) for k, v in report.items()}))
 
@@ -412,8 +476,8 @@ def main(argv=None):
         "eval", help="score a checkpoint (tokenizer PSNR/SSIM/codebook, "
         "genie val loss/accuracy)"
     )
-    pe.add_argument("what", choices=["tokenizer", "genie"], nargs="?",
-                    default="tokenizer")
+    pe.add_argument("what", choices=["tokenizer", "genie", "dynamics"],
+                    nargs="?", default="tokenizer")
     pe.add_argument("--config", required=True)
     pe.add_argument("--ckpt", default=None)
     pe.add_argument("--split", default="val")

@@ -161,6 +161,46 @@ def evaluate_genie(
     return {k: v / n for k, v in sums.items()} | {"num_batches": n}
 
 
+def evaluate_dynamics(
+    dynamics,
+    params,
+    loader,
+    key: jax.Array,
+    max_batches: Optional[int] = None,
+) -> Dict[str, float]:
+    """Score a dynamics-only checkpoint over token-shard batches.
+
+    Batches are `{"tokens": (B,T',H',W'), "actions": (B,T')}` dicts
+    (`data/tokens.py`); metrics are the eval-mode masked CE and accuracy
+    plus the masked fraction, averaged over batches.
+    """
+
+    @jax.jit
+    def batch_metrics(params, tokens, actions, key):
+        loss, aux = dynamics.apply(
+            {"params": params}, tokens, actions, key, train=False,
+            method=dynamics.compute_loss,
+        )
+        return {"loss": loss, **aux}
+
+    sums: Dict[str, float] = {}
+    n = 0
+    for i, batch in enumerate(loader):
+        if max_batches is not None and i >= max_batches:
+            break
+        key, sub = jax.random.split(key)
+        out = jax.device_get(batch_metrics(
+            params, jnp.asarray(batch["tokens"]),
+            jnp.asarray(batch["actions"]), sub,
+        ))
+        for k, v in out.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    if n == 0:
+        raise ValueError("evaluate_dynamics: loader yielded no batches")
+    return {k: v / n for k, v in sums.items()} | {"num_batches": n}
+
+
 def evaluate_tokenizer(
     tokenizer,
     params,

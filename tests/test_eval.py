@@ -118,3 +118,28 @@ def test_evaluate_tokenizer_empty_loader_raises():
     )
     with pytest.raises(ValueError):
         evaluate_tokenizer(tok, {}, [])
+
+
+def test_evaluate_dynamics_smoke():
+    from open_genie_tpu.eval import evaluate_dynamics
+    from open_genie_tpu.models.dynamics import DynamicsModel
+
+    dyn = DynamicsModel(
+        desc=(("space-time_attn",
+               {"n_rep": 1, "n_embd": 16, "n_head": 2, "d_head": 8}),),
+        tok_vocab=16, act_vocab=4, embed_dim=16,
+    )
+    key = jax.random.PRNGKey(0)
+    toks = jnp.zeros((1, 3, 4, 4), jnp.int32)
+    acts = jnp.zeros((1, 3), jnp.int32)
+    params = dyn.init(key, toks, acts)["params"]
+
+    rng = np.random.default_rng(0)
+    batches = [{
+        "tokens": rng.integers(0, 16, (2, 3, 4, 4)).astype(np.int32),
+        "actions": rng.integers(0, 4, (2, 3)).astype(np.int32),
+    } for _ in range(3)]
+    report = evaluate_dynamics(dyn, params, batches, key, max_batches=2)
+    assert report["num_batches"] == 2
+    for k in ("loss", "masked_acc", "masked_frac"):
+        assert np.isfinite(report[k]), k
