@@ -387,7 +387,11 @@ def main():
             big[big.index("--train-batch") + 1] = "4"
             big[big.index("--train-frames") + 1] = "8"
             print("# bonus tokenizer_train attempt at batch4/frames8")
-            r = _run_child("tokenizer_train", deadline, 480.0, big)
+            # Tight cap: when the remote compile helper rejects the big
+            # program it tends to HANG rather than fail fast (0/3 bonus
+            # attempts succeeded this round); never spend more than 300s
+            # of the driver's budget on a nice-to-have number.
+            r = _run_child("tokenizer_train", deadline, 300.0, big)
             if r and r.get("tokenizer_train_fps", 0) > results["tokenizer_train_fps"]:
                 results.update(r)
 
