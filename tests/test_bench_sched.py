@@ -1,0 +1,192 @@
+"""bench.py orchestrator scheduling policy (no jax, no subprocesses).
+
+Round-2 postmortem (VERDICT.md): a blind once-retry of a section that had
+already timed out at its full cap starved the last mandatory section, and
+two of three driver metrics came out null. These tests pin the round-3
+policy: first pass over every section before any retry, no retry of a
+full-cap timeout unless everything else is served AND a whole extra cap
+fits, and persisted same-round results folding in for failed sections.
+"""
+import importlib
+import json
+import os
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+@pytest.fixture()
+def harness(monkeypatch, tmp_path, capsys):
+    """Patch bench's subprocess runner + results file; returns a driver."""
+    monkeypatch.setattr(bench, "_RESULTS_FILE", str(tmp_path / "res.json"))
+
+    calls = []
+
+    def install(behaviors):
+        """behaviors: section -> callable(attempt_idx) -> (result, status, dt)."""
+        counts = {}
+
+        def fake_run_child(section, deadline, timeout, extra_args):
+            i = counts.get(section, 0)
+            counts[section] = i + 1
+            calls.append(section)
+            if section == "probe":
+                return {"ok": True, "platform": "fake"}, "ok", 1.0
+            return behaviors[section](i)
+
+        monkeypatch.setattr(bench, "_run_child", fake_run_child)
+
+    def run(budget="3000", argv=("bench.py",)):
+        monkeypatch.setenv("BENCH_BUDGET_S", budget)
+        monkeypatch.setattr(sys, "argv", list(argv))
+        bench.main()
+        out = capsys.readouterr().out
+        final = json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+        return final, out
+
+    return install, run, calls
+
+
+def ok(**kv):
+    return lambda i: (dict(kv), "ok", 5.0)
+
+
+def timeout(tmo=540.0):
+    return lambda i: (None, "timeout", tmo)
+
+
+def test_all_sections_live_and_persisted(harness):
+    install, run, calls = harness
+    install({
+        "rollout": ok(rollout_fps=50.0),
+        "tokenizer": ok(tokenizer_roundtrip_fps=200.0),
+        "tokenizer_train": ok(tokenizer_train_fps=60.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    final, _ = run()
+    assert final["value"] == 50.0
+    assert final["extra"]["tokenizer_roundtrip_fps"] == 200.0
+    assert final["extra"]["tokenizer_train_fps"] == 60.0
+    assert final["extra"]["serve_ms_p50"] == 20.0
+    assert final["extra"]["cached_sections"] is None
+    # every section persisted for the next run
+    saved = json.load(open(bench._RESULTS_FILE))
+    assert set(saved) >= {"rollout", "tokenizer", "tokenizer_train", "serve"}
+
+
+def test_timeout_not_retried_before_later_sections(harness):
+    """A full-cap timeout must not steal the later sections' first pass."""
+    install, run, calls = harness
+    install({
+        "rollout": ok(rollout_fps=50.0),
+        "tokenizer": timeout(),
+        "tokenizer_train": ok(tokenizer_train_fps=60.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    final, _ = run()
+    # train ran (and reported) despite the earlier tokenizer timeout
+    assert final["extra"]["tokenizer_train_fps"] == 60.0
+    first_train = calls.index("tokenizer_train")
+    # tokenizer attempted exactly once before train's first attempt
+    assert calls[:first_train].count("tokenizer") == 1
+
+
+def test_timeout_retry_only_with_full_extra_cap(harness):
+    install, run, calls = harness
+    install({
+        "rollout": ok(rollout_fps=50.0),
+        "tokenizer": timeout(),
+        "tokenizer_train": ok(tokenizer_train_fps=60.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    # Plenty of budget -> one retry of the timed-out section is allowed.
+    final, _ = run(budget="5000")
+    assert calls.count("tokenizer") == 2
+    calls.clear()
+    # Tight budget (< cap + 60 left after first pass) -> no retry.
+    final, _ = run(budget="590")
+    assert calls.count("tokenizer") == 1
+
+
+def test_fast_failure_gets_one_retry(harness):
+    install, run, calls = harness
+    seen = {}
+
+    def flaky(i):
+        if i == 0:
+            return None, "fail", 3.0  # transient tunnel error
+        return {"tokenizer_roundtrip_fps": 180.0}, "ok", 5.0
+
+    install({
+        "rollout": ok(rollout_fps=50.0),
+        "tokenizer": flaky,
+        "tokenizer_train": ok(tokenizer_train_fps=60.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    final, _ = run()
+    assert final["extra"]["tokenizer_roundtrip_fps"] == 180.0
+    assert calls.count("tokenizer") == 2
+
+
+def test_saved_results_fold_in_on_timeout(harness):
+    install, run, calls = harness
+    # Seed the persisted file with a fresh same-round tokenizer result.
+    with open(bench._RESULTS_FILE, "w") as f:
+        json.dump({
+            "tokenizer": {"ts": time.time() - 600,
+                          "result": {"tokenizer_roundtrip_fps": 205.0}},
+            "stale": {"ts": time.time() - 48 * 3600,
+                      "result": {"rollout_fps": 1.0}},
+        }, f)
+    install({
+        "rollout": ok(rollout_fps=50.0),
+        "tokenizer": timeout(),
+        "tokenizer_train": ok(tokenizer_train_fps=60.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    final, out = run(budget="590")  # no retry budget
+    assert final["extra"]["tokenizer_roundtrip_fps"] == 205.0
+    assert "tokenizer" in final["extra"]["cached_sections"]
+    # stale (>12h) entries are ignored; live rollout wins regardless
+    assert final["value"] == 50.0
+
+
+def test_sections_without_saved_backstop_run_first(harness):
+    install, run, calls = harness
+    with open(bench._RESULTS_FILE, "w") as f:
+        json.dump({
+            "rollout": {"ts": time.time(), "result": {"rollout_fps": 49.0}},
+            "tokenizer": {"ts": time.time(),
+                          "result": {"tokenizer_roundtrip_fps": 205.0}},
+        }, f)
+    install({
+        "rollout": ok(rollout_fps=50.0),
+        "tokenizer": ok(tokenizer_roundtrip_fps=210.0),
+        "tokenizer_train": ok(tokenizer_train_fps=60.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    final, _ = run()
+    # tokenizer_train has no backstop -> scheduled before the backed-up two
+    mand = [c for c in calls if c in ("rollout", "tokenizer", "tokenizer_train")]
+    assert mand[0] == "tokenizer_train"
+    # live results override saved ones
+    assert final["value"] == 50.0
+    assert final["extra"]["tokenizer_roundtrip_fps"] == 210.0
+
+
+def test_quick_mode_skips_persistence(harness):
+    install, run, calls = harness
+    install({
+        "rollout": ok(rollout_fps=5.0),
+        "tokenizer": ok(tokenizer_roundtrip_fps=20.0),
+        "tokenizer_train": ok(tokenizer_train_fps=6.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    final, _ = run(argv=("bench.py", "--quick"))
+    assert not os.path.exists(bench._RESULTS_FILE)
+    assert "serve" not in calls  # optional section skipped in quick mode
