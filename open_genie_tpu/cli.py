@@ -53,6 +53,12 @@ def _tokenize_data(args):
     from open_genie_tpu.train.losses import GenieTrainModule
     from open_genie_tpu.train.trainer import build_dataset, genie_model_kwargs
 
+    if not args.ckpt and not args.allow_random_params:
+        raise SystemExit(
+            "tokenize-data: --ckpt is required (shards written from "
+            "randomly initialized models are garbage dynamics training "
+            "data); pass --allow-random-params to override for tests"
+        )
     cfg = load_config(args.config, kind="genie")
     genie_kwargs = genie_model_kwargs(cfg.model)
     module = GenieTrainModule(genie=genie_kwargs)
@@ -493,6 +499,11 @@ def main(argv=None):
     )
     pk.add_argument("--config", required=True)
     pk.add_argument("--ckpt", default=None)
+    pk.add_argument(
+        "--allow-random-params", action="store_true",
+        help="permit writing shards WITHOUT --ckpt (randomly initialized "
+        "tokenizer/action models -- garbage shards; tests/debug only)",
+    )
     pk.add_argument("--out", required=True)
     pk.add_argument("--splits", default="train,val")
     pk.add_argument("--limit", type=int, default=None)

@@ -160,6 +160,19 @@ class DynamicsModel(nn.Module):
     # ------------------------------------------------------------------ #
 
     @nn.nowrap
+    def supports_cached_decode(self) -> bool:
+        """Static capability check: the KV-cached decode path requires an
+        all-`space-time_attn` trunk (the stock dynamics blueprints). Other
+        trunks fall back to full re-forwards in `generate` -- explicitly,
+        so a genuine assertion failure inside the cached path is never
+        silently swallowed into the 6x slower fallback."""
+        for desc in self.desc:
+            name = desc if isinstance(desc, str) else desc[0]
+            if name != "space-time_attn":
+                return False
+        return True
+
+    @nn.nowrap
     def init_cache(self, batch: int, h: int, w: int, t_max: int, dtype=jnp.float32):
         """Zeroed per-layer decode caches for a `t_max`-frame rollout.
 
@@ -285,14 +298,11 @@ class DynamicsModel(nn.Module):
 
         Returns `(B, T+1, H, W)` tokens with the generated frame appended.
         """
-        if use_cache:
-            try:
-                return self._generate_cached(
-                    tokens, act_id, key, steps, which, temp, masked_tok,
-                    top_k,
-                )
-            except AssertionError:
-                pass  # non-ST-attention trunk: full-forward fallback
+        if use_cache and self.supports_cached_decode():
+            return self._generate_cached(
+                tokens, act_id, key, steps, which, temp, masked_tok,
+                top_k,
+            )
         b, t, h, w = tokens.shape
         schedule = jnp.asarray(get_schedule(steps, (h, w), which))
         keys = jax.random.split(key, steps)

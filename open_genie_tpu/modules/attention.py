@@ -43,6 +43,12 @@ class Attention(nn.Module):
     d_head: int
     d_inp: Optional[int] = None
     d_out: Optional[int] = None
+    # Declared key/value input widths for cross-attention (the reference
+    # Adapter's `key_dim`/`val_dim`, `attention.py:105-149`, e.g. action
+    # conditioning with `key_dim=8`, `genie/__init__.py:38`). The Dense
+    # projections infer their input width, so these are validated as a
+    # shape contract: a mismatch raises (like the reference's fixed-shape
+    # projection would) instead of being silently ignored.
     key_dim: Optional[int] = None
     val_dim: Optional[int] = None
     bias: bool = False
@@ -83,6 +89,16 @@ class Attention(nn.Module):
         qry = nn.LayerNorm(name="norm")(qry)
         key = default(key, qry)
         val = default(val, key)
+        if self.key_dim is not None and key.shape[-1] != self.key_dim:
+            raise ValueError(
+                f"declared key_dim={self.key_dim} but the key input has "
+                f"width {key.shape[-1]}"
+            )
+        if self.val_dim is not None and val.shape[-1] != self.val_dim:
+            raise ValueError(
+                f"declared val_dim={self.val_dim} but the value input has "
+                f"width {val.shape[-1]}"
+            )
 
         q = nn.Dense(hid, use_bias=self.bias, name="to_q")(qry)
         k = nn.Dense(hid, use_bias=self.bias, name="to_k")(key)

@@ -121,6 +121,15 @@ class OptimizerConfig:
             raise ValueError(
                 f"lr_schedule={self.lr_schedule!r} requires decay_steps"
             )
+        if self.decay_steps <= self.warmup_steps:
+            # decay_steps counts TOTAL schedule length incl. warmup (both
+            # optax forms below); <= warmup silently builds a zero/negative
+            # decay segment instead of a schedule.
+            raise ValueError(
+                f"decay_steps ({self.decay_steps}) must exceed "
+                f"warmup_steps ({self.warmup_steps}) for "
+                f"lr_schedule={self.lr_schedule!r}"
+            )
         end = self.lr * self.end_lr_scale
         if self.lr_schedule == "cosine":
             return optax.schedules.warmup_cosine_decay_schedule(

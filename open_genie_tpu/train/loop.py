@@ -10,6 +10,7 @@ Genie).
 from __future__ import annotations
 
 import time
+from collections.abc import Mapping
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax
@@ -116,6 +117,11 @@ def get_ema_params(opt_state) -> Optional[Any]:
             return
         if isinstance(node, (tuple, list)):
             for child in node:
+                visit(child)
+        elif isinstance(node, Mapping):
+            # optax multi_transform / chains keyed by dict (e.g.
+            # inner_states) hide their leaves in Mapping values.
+            for child in node.values():
                 visit(child)
 
     visit(opt_state)

@@ -187,15 +187,26 @@ class DynamicsTrainModule(nn.Module):
 def frozen_param_mask(params, frozen_prefixes: Tuple[str, ...]):
     """Optax mask pytree: True = trainable, False = frozen.
 
-    `frozen_prefixes` are top-level-ish path fragments, e.g.
+    `frozen_prefixes` are `/`-joined path-SEGMENT sequences, e.g.
     `('perc_crit',)` to freeze the VGG, `('model/tokenizer_',)` to freeze
-    the tokenizer inside Genie.
+    the tokenizer inside Genie. A prefix matches where its segments appear
+    consecutively and exactly in a param's path -- anchored on segment
+    boundaries, so `('head',)` cannot over-freeze an unrelated
+    `action_head` (the old substring test could).
     """
     import flax
 
+    def matches(path: Tuple[str, ...], prefix: str) -> bool:
+        want = tuple(seg for seg in prefix.split("/") if seg)
+        if not want:
+            return False
+        n = len(want)
+        return any(
+            path[i : i + n] == want for i in range(len(path) - n + 1)
+        )
+
     flat = flax.traverse_util.flatten_dict(params)
     mask = {
-        k: not any("/".join(k).startswith(p) or p in "/".join(k) for p in frozen_prefixes)
-        for k in flat
+        k: not any(matches(k, p) for p in frozen_prefixes) for k in flat
     }
     return flax.traverse_util.unflatten_dict(mask)

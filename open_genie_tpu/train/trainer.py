@@ -7,6 +7,7 @@ functions, invoked by `open_genie_tpu.cli`.
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Optional
 
@@ -96,11 +97,19 @@ def _sample_batch_shape(dataset, cfg) -> tuple:
         item = dataset[0]
         t, h, w, c = item.shape[-4:]
         return (cfg.data.batch_size, t, h, w, c)
-    except Exception:
-        return (
-            cfg.data.batch_size, cfg.data.num_frames,
-            cfg.data.height, cfg.data.width, 3,
+    except (IndexError, NotImplementedError):
+        pass  # expected: empty/peek-less sources honor the config
+    except Exception as e:  # noqa: BLE001 -- fall back, but say why
+        print(
+            f"# WARNING: dataset peek failed ({type(e).__name__}: {e}); "
+            "falling back to config shapes -- a corrupt source will "
+            "resurface as a shape/param error on the first real batch",
+            file=sys.stderr,
         )
+    return (
+        cfg.data.batch_size, cfg.data.num_frames,
+        cfg.data.height, cfg.data.width, 3,
+    )
 
 
 def build_loader(cfg, dataset, mesh, tcfg, split: str = "train"):
@@ -312,6 +321,7 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
             **_opt_kwargs(mcfg.optimizer), frozen_mask=None,
         ),
     )
+    warn_random_perceptual(mcfg)
     # Pretrained perceptual weights: converted torchvision VGG16
     # (reference loads `weights='DEFAULT'`, loss.py:39,46).
     if mcfg.perc_loss_weight > 0 and getattr(mcfg, "perc_weights_npz", None):
@@ -550,6 +560,44 @@ def _load_tokenizer_into_genie(state: TrainState, ckpt: str) -> TrainState:
     return state.replace(params=params)
 
 
+def perc_weights_status(mcfg) -> str:
+    """'disabled' | 'random' | '<npz path>' -- the provenance of the
+    perceptual critic's features, recorded in the config snapshot."""
+    if getattr(mcfg, "perc_loss_weight", 0) <= 0:
+        return "disabled"
+    return getattr(mcfg, "perc_weights_npz", None) or "random"
+
+
+def warn_random_perceptual(mcfg) -> bool:
+    """Loud stderr banner when perceptual training will run on a RANDOMLY
+    initialized VGG16 (perc_loss_weight > 0 without `perc_weights_npz`).
+
+    The reference trains against pretrained torchvision features
+    (`/root/reference/genie/module/loss.py:39,46`); in this zero-egress
+    environment the pretrained values are unobtainable, so the default is
+    random features. That is a defensible metric -- random deep features
+    correlate surprisingly well with perceptual similarity (Zhang et al.
+    2018, LPIPS: even untrained nets beat classic metrics; Ulyanov et al.
+    2018, Deep Image Prior) -- but it is a silent quality divergence from
+    the reference unless announced. Returns True if the warning fired.
+    """
+    if perc_weights_status(mcfg) != "random":
+        return False
+    print(
+        "# " + "=" * 68 + "\n"
+        "# WARNING: perc_loss_weight > 0 with no model.perc_weights_npz --\n"
+        "# the perceptual loss will use a RANDOMLY INITIALIZED VGG16.\n"
+        "# Random-feature perceptual distances are a usable metric (LPIPS,\n"
+        "# Zhang et al. 2018, Table: untrained nets), but to match the\n"
+        "# reference's pretrained-VGG quality, convert torchvision weights\n"
+        "# with tools/convert_vgg_weights.py and set model.perc_weights_npz.\n"
+        "# The config snapshot records `perc_weights: random`.\n"
+        "# " + "=" * 68,
+        file=sys.stderr,
+    )
+    return True
+
+
 def save_config_snapshot(ckpt_dir: str, cfg: ExperimentConfig) -> None:
     """Write the resolved experiment config next to the checkpoints.
 
@@ -573,10 +621,15 @@ def save_config_snapshot(ckpt_dir: str, cfg: ExperimentConfig) -> None:
             return o
         return repr(o)
 
+    snap = plain(cfg)
+    if hasattr(cfg, "model"):
+        # Perceptual-feature provenance: makes `perc_weights: random`
+        # training runs auditable from the checkpoint dir alone.
+        snap["perc_weights"] = perc_weights_status(cfg.model)
     path = os.path.abspath(ckpt_dir)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "config.yaml"), "w") as f:
-        yaml.safe_dump(plain(cfg), f, sort_keys=False)
+        yaml.safe_dump(snap, f, sort_keys=False)
 
 
 def _run_loop(

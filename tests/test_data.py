@@ -74,3 +74,79 @@ def test_kinetics_folder(kinetics_tree):
 def test_kinetics_empty_split_raises(kinetics_tree):
     with pytest.raises(FileNotFoundError):
         KineticsFolder(root=kinetics_tree, split="val")
+
+
+def test_make_data_gym_mocked(tmp_path, monkeypatch, capsys):
+    """`cli make-data --source gym` with an injected fake gym module:
+    the written tree must match the reference `sample.py` layout and be
+    loadable by Platformer2D (VERDICT r2 item 7 -- the path could never
+    run in this env because procgen/gym are absent)."""
+    import sys
+    import types
+
+    H = WDT = 24
+    TIMEOUT = 6
+
+    class FakeSpace:
+        def __init__(self):
+            self._n = 0
+
+        def sample(self):
+            self._n += 1
+            return self._n % 4
+
+    class FakeEnv:
+        def __init__(self, seed):
+            self.seed = seed
+            self.action_space = FakeSpace()
+            self._t = 0
+
+        def _frame(self):
+            # deterministic per (seed, step) gradient pattern
+            v = (self.seed * 31 + self._t * 7) % 255
+            return np.full((H, WDT, 3), v, np.uint8)
+
+        def reset(self):
+            self._t = 0
+            return self._frame()
+
+        def step(self, action):
+            self._t += 1
+            return self._frame(), 0.0, False, {}
+
+        def close(self):
+            pass
+
+    made = []
+
+    def fake_make(env_id, **kwargs):
+        made.append((env_id, kwargs))
+        return FakeEnv(seed=kwargs.get("start_level", 0))
+
+    fake_gym = types.ModuleType("gym")
+    fake_gym.make = fake_make
+    monkeypatch.setitem(sys.modules, "gym", fake_gym)
+
+    from open_genie_tpu import cli
+
+    cli.main([
+        "make-data", "--root", str(tmp_path), "--source", "gym",
+        "--env-name", "Coinrun", "--num-videos", "2",
+        "--timeout", str(TIMEOUT),
+    ])
+    out = capsys.readouterr().out
+    assert "wrote 2 gym rollouts" in out
+    # reference sample.py semantics: procgen id, hard mode, 1 level/seed
+    assert made[0][0] == "procgen:procgen-coinrun-v0"
+    assert made[0][1]["distribution_mode"] == "hard"
+    assert [kw["start_level"] for _, kw in made] == [0, 1]
+
+    # layout matches Platformer2D's expectations and round-trips
+    files = sorted(os.listdir(tmp_path / "Coinrun" / "train"))
+    assert files == ["0000.mp4", "0001.mp4"]
+    ds = Platformer2D(
+        root=str(tmp_path), env_name="Coinrun", split="train", num_frames=4,
+    )
+    clip = np.asarray(ds[0])
+    assert clip.shape == (4, H, WDT, 3)
+    assert clip.min() >= 0.0 and clip.max() <= 1.0

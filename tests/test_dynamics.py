@@ -225,3 +225,31 @@ def test_maskgit_commit_prefers_confident_positions():
     assert not bool(new_mask[0, 5])
     assert int(new_code[0, 5]) == 2
     assert int((~new_mask).sum()) == 1
+
+
+def test_supports_cached_decode_capability():
+    """Cache capability is a STATIC trunk property (no exception-based
+    control flow): all-ST trunks support it, anything else falls back."""
+    st = DynamicsModel(desc=DESC, tok_vocab=VOCAB, act_vocab=ACT_VOCAB,
+                       embed_dim=EMBED)
+    assert st.supports_cached_decode()
+    mixed = DynamicsModel(
+        desc=DESC + (("space_attn", {"n_head": 2, "d_head": 16}),),
+        tok_vocab=VOCAB, act_vocab=ACT_VOCAB, embed_dim=EMBED,
+    )
+    assert not mixed.supports_cached_decode()
+
+
+def test_generate_full_fallback_on_non_st_trunk():
+    """A non-ST trunk generates via full re-forwards (explicit fallback),
+    appending exactly one frame."""
+    m = DynamicsModel(
+        desc=(("space_attn", {"n_head": 2, "d_head": 16}),),
+        tok_vocab=VOCAB, act_vocab=ACT_VOCAB, embed_dim=EMBED,
+    )
+    toks = jnp.zeros((B, T, H, W), jnp.int32)
+    acts = jnp.zeros((B, T), jnp.int32)
+    params = m.init(KEY, toks, acts)
+    out = m.apply(params, toks, acts, KEY, steps=2, method=m.generate)
+    assert out.shape == (B, T + 1, H, W)
+    assert not m.supports_cached_decode()

@@ -321,3 +321,86 @@ def test_grad_accumulation_matches_full_batch():
     b = flax.traverse_util.flatten_dict(jax.device_get(state_full.params))
     for k in a:
         np.testing.assert_allclose(a[k], b[k], atol=2e-6, err_msg=str(k))
+
+
+def test_frozen_param_mask_anchored_segments():
+    """Prefixes match whole path-segment sequences only: ('head',) must not
+    over-freeze an unrelated 'action_head' (the old substring test did)."""
+    params = {
+        "head": {"kernel": jnp.zeros(1)},
+        "action_head": {"kernel": jnp.zeros(1)},
+        "model": {
+            "tokenizer_": {"w": jnp.zeros(1)},
+            "tokenizer_extra": {"w": jnp.zeros(1)},
+        },
+    }
+    mask = frozen_param_mask(params, ("head",))
+    assert mask["head"]["kernel"] is False
+    assert mask["action_head"]["kernel"] is True
+
+    mask = frozen_param_mask(params, ("model/tokenizer_",))
+    assert mask["model"]["tokenizer_"]["w"] is False
+    assert mask["model"]["tokenizer_extra"]["w"] is True
+    assert mask["head"]["kernel"] is True
+
+    # nested anchored match still works mid-path
+    mask = frozen_param_mask(params, ("tokenizer_",))
+    assert mask["model"]["tokenizer_"]["w"] is False
+    assert mask["model"]["tokenizer_extra"]["w"] is True
+
+
+def test_get_ema_params_recurses_into_mappings():
+    """EmaState nested inside dict-valued optax states (multi_transform
+    inner_states) must still be found."""
+    from open_genie_tpu.train.loop import EmaState, get_ema_params
+
+    ema = EmaState(ema={"w": jnp.ones(2)})
+    nested = {"inner_states": {"train": (object(), ema), "freeze": ()}}
+    out = get_ema_params(nested)
+    assert out is not None and float(out["w"][0]) == 1.0
+    assert get_ema_params({"inner_states": {"train": ()}}) is None
+
+
+def test_schedule_rejects_decay_not_past_warmup():
+    from open_genie_tpu.train.config import OptimizerConfig
+
+    for kind in ("linear", "cosine"):
+        cfg = OptimizerConfig(lr_schedule=kind, warmup_steps=10, decay_steps=10)
+        with pytest.raises(ValueError, match="decay_steps"):
+            cfg.schedule()
+    ok = OptimizerConfig(lr_schedule="linear", warmup_steps=10, decay_steps=20)
+    sched = ok.schedule()
+    assert float(sched(10)) == pytest.approx(ok.lr)
+
+
+def test_random_vgg_warning_and_snapshot(tmp_path, capsys):
+    """perc_loss_weight>0 without pretrained weights must warn loudly and
+    be recorded as `perc_weights: random` in the checkpoint config
+    snapshot (VERDICT r2 item 4)."""
+    import yaml
+
+    from open_genie_tpu.train.config import (
+        DataConfig, ExperimentConfig, TokenizerModelConfig, TrainerConfig,
+    )
+    from open_genie_tpu.train.trainer import (
+        perc_weights_status, save_config_snapshot, warn_random_perceptual,
+    )
+
+    mcfg = TokenizerModelConfig(perc_loss_weight=1.0, perc_weights_npz=None)
+    assert perc_weights_status(mcfg) == "random"
+    assert warn_random_perceptual(mcfg)
+    err = capsys.readouterr().err
+    assert "RANDOMLY INITIALIZED VGG16" in err
+
+    assert not warn_random_perceptual(
+        TokenizerModelConfig(perc_loss_weight=0.0)
+    )
+    assert perc_weights_status(
+        TokenizerModelConfig(perc_loss_weight=1.0, perc_weights_npz="/w.npz")
+    ) == "/w.npz"
+
+    cfg = ExperimentConfig(model=mcfg, data=DataConfig(),
+                           trainer=TrainerConfig())
+    save_config_snapshot(str(tmp_path), cfg)
+    snap = yaml.safe_load(open(tmp_path / "config.yaml"))
+    assert snap["perc_weights"] == "random"
