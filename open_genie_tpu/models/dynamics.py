@@ -212,6 +212,7 @@ class DynamicsModel(nn.Module):
         cache,
         pos,
         train: bool = False,
+        commit: bool = True,
     ):
         """One-frame forward against cached history.
 
@@ -219,19 +220,27 @@ class DynamicsModel(nn.Module):
           frame_tok: `(B, H, W)` tokens of the frame at time `pos`.
           act_id: `(B,)` action ids for this frame.
           cache/pos: decode caches (see `init_cache`) and the frame index.
+          commit: True writes this frame's K/V + FFN window into the
+            returned cache (prefill / final frame commit). False computes
+            the same logits READ-ONLY and returns the cache unchanged --
+            MaskGIT refinement steps drop the cache anyway, and a
+            written-then-discarded buffer forces XLA to materialize a full
+            cache copy per refine step (the dominant HBM traffic of the
+            rollout at batch > 1).
 
-        Returns `(logits (B, H, W, V), new_cache)`. Refinement steps use the
-        logits and drop `new_cache` (the frame is not committed); the final
-        pass keeps it. Compute is O(1) in history length (keys are read from
-        the cache), vs the reference's full re-forward per MaskGIT step
-        (`dynamics.py:136`).
+        Returns `(logits (B, H, W, V), new_cache)`. Compute is O(1) in
+        history length (keys are read from the cache), vs the reference's
+        full re-forward per MaskGIT step (`dynamics.py:136`).
         """
         x = self.tok_emb(frame_tok[:, None]) + self.act_emb(act_id[:, None])[
             :, :, None, None, :
         ]
         new_cache = []
         for layer, layer_cache in zip(self.layers, cache):
-            x, c = layer(x, cache=layer_cache, cache_pos=pos, train=train)
+            x, c = layer(
+                x, cache=layer_cache, cache_pos=pos, train=train,
+                cache_write=commit,
+            )
             new_cache.append(c)
         logits = self.head(x[:, 0])
         return logits, new_cache
@@ -365,7 +374,8 @@ class DynamicsModel(nn.Module):
             mask, code = carry
             num_tokens, k = inp
             frame = jnp.where(mask, masked_tok, code).reshape(b, h, w)
-            logits, _ = self.decode_frame(frame, act_new, cache, t)
+            logits, _ = self.decode_frame(frame, act_new, cache, t,
+                                          commit=False)
             mask, code = maskgit_commit(
                 k, logits.reshape(b, h * w, -1), mask, code, num_tokens,
                 temp, top_k=top_k,

@@ -253,7 +253,9 @@ class Genie(nn.Module):
             mask, code = carry
             num_tokens, sk = step_inp
             frame = jnp.where(mask, 0, code).reshape(b, h, w)
-            logits, _ = self.dynamics_.decode_frame(frame, act_t, cache, tgt)
+            logits, _ = self.dynamics_.decode_frame(
+                frame, act_t, cache, tgt, commit=False
+            )
             mask, code = maskgit_commit(
                 sk, logits.reshape(b, h * w, -1), mask, code, num_tokens,
                 temp, top_k=top_k,

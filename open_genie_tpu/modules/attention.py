@@ -67,6 +67,7 @@ class Attention(nn.Module):
         train: bool = False,
         kv_cache=None,
         cache_pos=None,
+        cache_write: bool = True,
     ):
         """Self/cross attention; optionally KV-cached single-position decode.
 
@@ -76,6 +77,15 @@ class Attention(nn.Module):
         attention runs over positions `<= cache_pos`. Returns
         `(out, (k_buf', v_buf'))`. Parameters are identical to the full
         path (same compact submodules trace in both modes).
+
+        `cache_write=False` computes the SAME attention without touching
+        the buffers: history logits come from reading `k_buf`/`v_buf`
+        masked to `< cache_pos`, the current position's logit from the
+        live K/V -- the identical logit set, so softmax matches the write
+        path to fp tolerance. This matters inside MaskGIT refinement
+        loops: a written-then-discarded cache forces XLA to materialize a
+        full buffer copy per refine step (the loop-carried original must
+        survive), which made the rollout HBM-bound in B.
         """
         hid = self.n_head * self.d_head
         d_inp = default(self.d_inp, hid)
@@ -110,7 +120,38 @@ class Attention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
 
-        if decode:
+        if decode and not cache_write:
+            k_buf, v_buf = kv_cache
+            scale = default(self.scale, self.d_head ** -0.5)
+            n_max = k_buf.shape[2]
+            # Cast live K/V to the buffer dtype first: the write path
+            # stores (and reads back) buffer-dtype values, and read-only
+            # refinement must see bit-identical logits.
+            k_cur = k.astype(k_buf.dtype)
+            v_cur = v.astype(v_buf.dtype)
+            logits_h = jnp.einsum(
+                "...qd,...kd->...qk", q, k_buf,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            hist = jnp.arange(n_max)[None, None, None, :] < cache_pos
+            logits_h = jnp.where(hist, logits_h, -jnp.inf)
+            logits_s = jnp.einsum(
+                "...qd,...kd->...qk", q, k_cur,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            probs = jax.nn.softmax(
+                jnp.concatenate([logits_h, logits_s], axis=-1), axis=-1
+            )
+            attn = jnp.einsum(
+                "...qk,...kd->...qd", probs[..., :n_max].astype(q.dtype),
+                v_buf, preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "...qk,...kd->...qd", probs[..., n_max:].astype(q.dtype),
+                v_cur, preferred_element_type=jnp.float32,
+            )
+            attn = attn.astype(q.dtype)
+            k_buf, v_buf = kv_cache  # unchanged
+        elif decode:
             k_buf, v_buf = kv_cache
             k_buf = jax.lax.dynamic_update_slice_in_dim(
                 k_buf, k.astype(k_buf.dtype), cache_pos, axis=2
@@ -231,6 +272,7 @@ class TemporalAttention(nn.Module):
         train: bool = False,
         kv_cache=None,
         cache_pos=None,
+        cache_write: bool = True,
     ):
         b, t, h, w, c = video.shape
         # (B, T, H, W, C) -> (B*H*W, T, C) pixel tubes.
@@ -254,7 +296,7 @@ class TemporalAttention(nn.Module):
         )
         out = attn(
             seq, key=cond, mask=mask, train=train,
-            kv_cache=kv_cache, cache_pos=cache_pos,
+            kv_cache=kv_cache, cache_pos=cache_pos, cache_write=cache_write,
         )
         if kv_cache is not None:
             out, new_cache = out
@@ -326,6 +368,7 @@ class SpaceTimeAttention(nn.Module):
         train: bool = False,
         cache=None,
         cache_pos=None,
+        cache_write: bool = True,
     ):
         """Full forward, or cached single-frame decode.
 
@@ -394,6 +437,7 @@ class SpaceTimeAttention(nn.Module):
             ta, new_kv = ta_mod(
                 video, cond=None, train=train,
                 kv_cache=(cache["k"], cache["v"]), cache_pos=cache_pos,
+                cache_write=cache_write,
             )
         else:
             ta = ta_mod(video, cond=time_cond, mask=mask, train=train)
@@ -427,8 +471,12 @@ class SpaceTimeAttention(nn.Module):
             ffn = ffn_mod(window, train=train, time_valid=True)
             # Keep the cache's dtype stable across steps: the rollout scan
             # carries it, and a bf16 compute dtype must not silently
-            # narrow (or widen) an f32 (or bf16) cache.
-            new_ffn = window[:, 1:].astype(cache["ffn"].dtype)
+            # narrow (or widen) an f32 (or bf16) cache. Read-only steps
+            # hand the original window back untouched.
+            new_ffn = (
+                window[:, 1:].astype(cache["ffn"].dtype)
+                if cache_write else cache["ffn"]
+            )
         else:
             ffn = ffn_mod(video, train=train)
         if time_hid != d_out:

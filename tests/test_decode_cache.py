@@ -108,3 +108,33 @@ def test_generate_cached_matches_full(model_and_params):
         params, toks, acts, k, steps=4, use_cache=False, method=m.generate
     )
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+
+
+def test_decode_frame_readonly_matches_commit(model_and_params):
+    """`commit=False` (read-only refinement) must produce the same logits
+    as the buffer-writing path and must return the cache UNCHANGED --
+    the no-copy fast path for MaskGIT refine loops."""
+    m, params = model_and_params
+    toks = jax.random.randint(KEY, (B, T, H, W), 0, VOCAB)
+    acts = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, ACT_VOCAB)
+
+    cache = m.init_cache(B, H, W, T)
+    for t in range(T - 1):
+        _, cache = m.apply(
+            params, toks[:, t], acts[:, t], cache, t, method=m.decode_frame
+        )
+
+    t = T - 1
+    logits_w, _ = m.apply(
+        params, toks[:, t], acts[:, t], cache, t, method=m.decode_frame
+    )
+    logits_r, cache_r = m.apply(
+        params, toks[:, t], acts[:, t], cache, t, commit=False,
+        method=m.decode_frame,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_r), np.asarray(logits_w), rtol=2e-4, atol=2e-4
+    )
+    for got, want in zip(cache_r, cache):
+        for k in ("k", "v", "ffn"):
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
