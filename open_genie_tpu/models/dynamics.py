@@ -178,10 +178,14 @@ class DynamicsModel(nn.Module):
 
         Requires an all-`space-time_attn` trunk (the stock dynamics
         blueprints). Each layer carries temporal KV buffers
-        `(B*H*W, heads, t_max, d_head)` and a `(B, k_t - 1, H, W, time_hid)`
-        window of pre-FFN features for the causal FFN conv. Layer dims are
-        read from the blueprint descriptors directly (constructing Flax
-        modules inside a bound method is forbidden).
+        `(B*H*W, heads, t_max, d_head)`, a `(B, k_t - 1, H, W, time_hid)`
+        window of POST-GroupNorm pre-conv features for the causal FFN
+        (per-frame GN is frame-local, so zeros here are exactly the full
+        forward's causal zero padding), and `fh` `(B, 1, H, W, d_out)` --
+        the window's precomputed contribution to the next position's FFN
+        output, so refine steps run a single-time-tap conv. Layer dims
+        are read from the blueprint descriptors directly (constructing
+        Flax modules inside a bound method is forbidden).
         """
         caches = []
         for desc in self.desc:
@@ -197,11 +201,13 @@ class DynamicsModel(nn.Module):
             dh = d_head[1] if isinstance(d_head, (tuple, list)) else d_head
             kt = kwargs.get("kernel_size", 3)
             time_hid = heads * dh
+            d_out = kwargs.get("d_out") or kwargs.get("n_embd") or time_hid
             for _ in range(int(kwargs.get("n_rep", 1))):
                 caches.append({
                     "k": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
                     "v": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
                     "ffn": jnp.zeros((batch, kt - 1, h, w, time_hid), dtype),
+                    "fh": jnp.zeros((batch, 1, h, w, d_out), dtype),
                 })
         return caches
 

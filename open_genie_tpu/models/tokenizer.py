@@ -142,13 +142,13 @@ class VideoTokenizer(nn.Module):
         loss; callers that must not backprop wrap in `lax.stop_gradient`
         (`tokenizer.py:332-350` uses `no_grad`).
 
-        `fused=None` auto-dispatches the final 1x1 conv + LFQ sign/index
-        through the fused Pallas head on TPU when the blueprint allows it
-        (`head_fusable`); `fused=False` forces the reference-shaped unfused
-        path (CPU / parity baseline).
+        `fused=True` routes the final 1x1 conv + LFQ sign/index through
+        the fused Pallas head (requires `head_fusable()`); the default is
+        the unfused XLA path everywhere -- measured on v5e, the fusion is
+        ~4% slower on the conv-dominated MAGVIT2 encoder (XLA already
+        fuses the 1x1 projection; see `ops/pallas/lfq_head.py`), so it is
+        demoted to an explicit opt-in.
         """
-        from open_genie_tpu.utils import is_tpu_backend
-
         # Never fuse while params are being created: the fused path READS
         # the head conv's params instead of calling the layer, so during
         # `init` they don't exist yet (and the layer must be traced so
@@ -156,7 +156,7 @@ class VideoTokenizer(nn.Module):
         if self.is_initializing():
             fused = False
         if fused is None:
-            fused = is_tpu_backend() and self.head_fusable()
+            fused = False
         if fused:
             assert self.head_fusable(), (
                 "fused tokenize requires a 1x1x1 causal-conv3d encoder head "

@@ -308,6 +308,39 @@ class TemporalAttention(nn.Module):
         return out.reshape(b, h, w, t, c_out).transpose(0, 3, 1, 2, 4)
 
 
+def _per_frame_group_norm(x, scale, bias, groups, eps=1e-6):
+    """GroupNorm with per-frame statistics on `(B, T, H, W, C)` video --
+    the functional twin of ForwardBlock's per-frame `nn.GroupNorm` (stats
+    over (H, W, C/g) within each frame), used by the cached decode path
+    so history frames' normalization can be cached instead of recomputed
+    every MaskGIT refine step."""
+    b, t, h, w, c = x.shape
+    xg = x.astype(jnp.float32).reshape(b * t, h * w, groups, c // groups)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = jnp.square(xg - mean).mean(axis=(1, 3), keepdims=True)
+    xn = ((xg - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
+    out = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def _time_valid_conv(x, kernel, bias):
+    """Channels-last conv3d, VALID in time, SAME (symmetric) in space --
+    the exact windowed form of ForwardBlock's causal conv, applied to a
+    subset of its time taps (`kernel` may be a time-slice of the full
+    `(kt, kh, kw, Cin, Cout)` kernel)."""
+    kh, kw = kernel.shape[1], kernel.shape[2]
+    out = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), ((kh - 1) // 2, (kh - 1) // 2),
+                 ((kw - 1) // 2, (kw - 1) // 2)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
 class SpaceTimeAttention(nn.Module):
     """Factorized ST-transformer block: spatial attn -> causal temporal attn
     -> Conv3d FFN, each with a (dim-adapting) skip.
@@ -461,22 +494,46 @@ class SpaceTimeAttention(nn.Module):
             name="ffn",
         )
         if decode:
-            # Run the FFN VALID-in-time over [prev (k_t - 1) frames,
-            # current]: the window is exactly the causal receptive field,
-            # producing only the one output frame this step needs (k_t x
-            # less conv work). New 'ffn' cache = trailing window.
-            window = jnp.concatenate(
-                [cache["ffn"].astype(video.dtype), video], axis=1
+            # Decode-mode FFN, split at the conv's time taps. The cache
+            # holds the (k_t - 1)-frame POST-GroupNorm feature window
+            # (per-frame GN is frame-local, so history normalization never
+            # changes -- and sequence-start zero padding is then EXACTLY
+            # the full forward's post-GN zero padding) plus 'fh', the
+            # history taps' precomputed contribution to this position's
+            # output. A refine step (cache_write=False) therefore runs GN
+            # + a SINGLE-time-tap conv on the current frame and adds 'fh'
+            # -- k_t x less conv FLOPs than re-convolving the window,
+            # which profiling showed was the rollout's dominant compute.
+            # The commit pass runs the full windowed conv and precomputes
+            # the next position's 'fh' from the new trailing window.
+            assert self.hid_dim is None, (
+                "cached decode requires a single-conv FFN (hid_dim=None): "
+                "stacked time convs widen the temporal receptive field "
+                "past the cached window"
             )
-            ffn = ffn_mod(window, train=train, time_valid=True)
-            # Keep the cache's dtype stable across steps: the rollout scan
-            # carries it, and a bf16 compute dtype must not silently
-            # narrow (or widen) an f32 (or bf16) cache. Read-only steps
-            # hand the original window back untouched.
-            new_ffn = (
-                window[:, 1:].astype(cache["ffn"].dtype)
-                if cache_write else cache["ffn"]
+            p = self.variables["params"]["ffn"]
+            kernel = p["block_0"]["kernel"]  # (kt, kh, kw, Cin, Cout)
+            cbias = p["block_0"].get("bias")
+            kt = kernel.shape[0]
+            xn = _per_frame_group_norm(
+                video, p["norm"]["scale"], p["norm"]["bias"], n_head[1]
             )
+            if cache_write:
+                window = jnp.concatenate(
+                    [cache["ffn"].astype(xn.dtype), xn], axis=1
+                )
+                ffn = _time_valid_conv(window, kernel, cbias)
+                # Keep cache dtypes stable across steps: the rollout scan
+                # carries them, and a bf16 compute dtype must not silently
+                # narrow (or widen) an f32 (or bf16) cache.
+                new_ffn = window[:, 1:].astype(cache["ffn"].dtype)
+                fh_next = _time_valid_conv(window[:, 1:], kernel[: kt - 1], None)
+                new_fh = fh_next.astype(cache["fh"].dtype)
+            else:
+                ffn = cache["fh"].astype(xn.dtype) + _time_valid_conv(
+                    xn, kernel[kt - 1 :], cbias
+                )
+                new_ffn, new_fh = cache["ffn"], cache["fh"]
         else:
             ffn = ffn_mod(video, train=train)
         if time_hid != d_out:
@@ -485,5 +542,7 @@ class SpaceTimeAttention(nn.Module):
             skip = video
         out = ffn + skip
         if decode:
-            return out, {"k": new_kv[0], "v": new_kv[1], "ffn": new_ffn}
+            return out, {
+                "k": new_kv[0], "v": new_kv[1], "ffn": new_ffn, "fh": new_fh,
+            }
         return out

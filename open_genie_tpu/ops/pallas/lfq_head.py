@@ -11,6 +11,15 @@ sign/index passes round-trip HBM.
 
 (A 1x1 conv over channels-last video IS a matmul over flattened tokens, so
 the kernel serves any spatial/temporal grid.)
+
+MEASURED AND DEMOTED (round 3): on the MAGVIT2 d=18 tokenize path @
+1x16x64x64 bf16 on v5e, the fused head is ~4% SLOWER than the unfused
+XLA path (35.8 ms vs 34.3 ms tokenize; tools/profile_rollout.py
+--tokenizer). The encoder is conv-dominated and XLA already fuses the
+1x1 projection with its neighbors, so the kernel only relocates ~2 MB of
+HBM traffic while splitting XLA's fusion. `VideoTokenizer.tokenize`
+therefore defaults to the unfused path everywhere; the kernel stays
+available via `tokenize(..., fused=True)` and keeps its parity tests.
 """
 from __future__ import annotations
 

@@ -136,5 +136,48 @@ def test_decode_frame_readonly_matches_commit(model_and_params):
         np.asarray(logits_r), np.asarray(logits_w), rtol=2e-4, atol=2e-4
     )
     for got, want in zip(cache_r, cache):
-        for k in ("k", "v", "ffn"):
+        for k in ("k", "v", "ffn", "fh"):
             np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+
+
+def _randomized(params, scale=0.3):
+    """Perturb every param with noise: init-value params (GN scale=1,
+    bias=0) mask handling bugs in the decode path's manual GN/conv."""
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [
+        l + scale * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, keys)
+    ]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def test_decode_matches_full_with_trained_like_params(model_and_params):
+    """Decode-vs-full parity must hold for NON-init params too: the FFN
+    window caches post-GN features precisely so that sequence-start zero
+    padding stays exact when GroupNorm bias != 0 (with pre-GN caching,
+    GN(0) = bias leaked into the first k_t - 1 positions)."""
+    m, params = model_and_params
+    params = _randomized(params)
+    toks = jax.random.randint(KEY, (B, T, H, W), 0, VOCAB)
+    acts = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, ACT_VOCAB)
+
+    full_logits = m.apply(params, toks, acts)
+
+    cache = m.init_cache(B, H, W, T)
+    for t in range(T):
+        # read-only probe first: must equal the committed-step logits
+        logits_r, _ = m.apply(
+            params, toks[:, t], acts[:, t], cache, t, commit=False,
+            method=m.decode_frame,
+        )
+        logits, cache = m.apply(
+            params, toks[:, t], acts[:, t], cache, t, method=m.decode_frame
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full_logits[:, t]),
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_r), np.asarray(logits), rtol=2e-3, atol=2e-3
+        )

@@ -1,11 +1,20 @@
-"""Rollout latency breakdown on the real chip.
+"""Rollout latency breakdown + roofline/MFU accounting on the real chip.
 
 Measures, for the bench flagship config: full rollout (tokens + pixels) at
 several steps-per-frame, token-only rollout, bare cached decode_frame
 steps, prefill, and pixel decode -- so optimization targets the part that
-actually dominates. Hard host sync everywhere (tunnel-safe).
+actually dominates. Every timed program is AOT-compiled
+(`jit(...).lower(...).compile()`) so XLA's own cost model supplies FLOPs
+and HBM bytes, from which achieved TFLOP/s, MFU vs the chip's bf16 peak,
+and the roofline bound are derived (`open_genie_tpu/utils/roofline.py`).
+Hard host sync everywhere (tunnel-safe).
 
-Usage: python tools/profile_rollout.py [--frames 16] [--repeats 3]
+Usage:
+  python tools/profile_rollout.py              # rollout breakdown + MFU
+  python tools/profile_rollout.py --sweep      # + B in {1,4,8} scaling
+  python tools/profile_rollout.py --tokenizer  # + tokenize/decode roofline
+  python tools/profile_rollout.py --train      # + train-step roofline
+  python tools/profile_rollout.py --all
 """
 from __future__ import annotations
 
@@ -39,21 +48,47 @@ def best_of(fn, repeats):
     return min(times)
 
 
+def compile_timed(fn, *args):
+    """AOT-compile `fn(*args)`; returns `(compiled, cost_dict)`."""
+    import jax
+
+    from open_genie_tpu.utils.roofline import cost_analysis
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    return compiled, cost_analysis(compiled)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--sweep", action="store_true",
+                    help="batch sweep B in {1,4,8} of the full rollout")
+    ap.add_argument("--tokenizer", action="store_true",
+                    help="MAGVIT2 d=18 tokenize/decode roofline")
+    ap.add_argument("--train", action="store_true",
+                    help="tokenizer full-loss train step roofline")
+    ap.add_argument("--no-breakdown", action="store_true",
+                    help="skip the per-stage rollout breakdown")
+    ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
+    if args.all:
+        args.sweep = args.tokenizer = args.train = True
 
     import jax
     import jax.numpy as jnp
 
     from bench import _bf16_params, _genie_cfg
     from open_genie_tpu.models.genie import Genie
+    from open_genie_tpu.utils.roofline import device_peaks, summarize
+
+    peaks = device_peaks()
+    print(f"device: {jax.devices()[0].device_kind!r} -> peaks {peaks.label}: "
+          f"{peaks.flops / 1e12:.0f} bf16 TFLOP/s, {peaks.bw / 1e9:.0f} GB/s, "
+          f"balance {peaks.balance:.0f} FLOP/byte")
 
     model = Genie(**_genie_cfg())
     key = jax.random.PRNGKey(0)
-    prompt = jnp.zeros((1, 1, 64, 64, 3), jnp.bfloat16)
     video = jnp.zeros((1, 4, 64, 64, 3), jnp.float32)
     params = jax.jit(
         lambda k: model.init(k, video, k, method=model.init_full)
@@ -61,78 +96,248 @@ def main():
     params = _bf16_params(params)
     nf = args.frames
 
-    actions = jnp.zeros((1, nf + 1), jnp.int32)
+    def rollout_fn(params, prompt, actions, key, spf):
+        return model.apply({"params": params}, prompt, actions, key,
+                           num_frames=nf, steps_per_frame=spf)
 
-    # -- full rollout at several spf ---------------------------------
-    for spf in (1, 8, 25):
-        @jax.jit
-        def roll(params, prompt, actions, key, _spf=spf):
-            return model.apply({"params": params}, prompt, actions, key,
-                               num_frames=nf, steps_per_frame=_spf)
+    # -- full rollout at several spf (+ roofline) ---------------------
+    # NOTE: XLA's cost model counts a lax.scan body ONCE, not per trip, so
+    # scanned-program rows are LOWER BOUNDS; the accurate per-step costs
+    # (and the analytic rollout roofline derived from them) come from the
+    # unscanned decode_frame programs below.
+    rollout_times = {}
+    if not args.no_breakdown:
+        prompt = jnp.zeros((1, 1, 64, 64, 3), jnp.bfloat16)
+        actions = jnp.zeros((1, nf + 1), jnp.int32)
+        for spf in (1, 8, 25):
+            comp, cost = compile_timed(
+                lambda p, pr, a, k, _spf=spf: rollout_fn(p, pr, a, k, _spf),
+                params, prompt, actions, key,
+            )
+            _sync(comp(params, prompt, actions, key))
+            dt = best_of(lambda: _sync(comp(params, prompt, actions, key)),
+                         args.repeats)
+            rollout_times[spf] = dt
+            print(summarize(
+                f"full rollout spf={spf:3d} ({nf / dt:6.1f} fps) [scan-LB]",
+                dt, cost, peaks))
 
-        _sync(roll(params, prompt, actions, key))
-        dt = best_of(lambda: _sync(roll(params, prompt, actions, key)),
+        # -- token-only rollout --------------------------------------
+        tokens = model.apply({"params": params}, prompt,
+                             method=model.tokenize_prompt)
+        comp, cost = compile_timed(
+            lambda p, t, a, k: model.apply(
+                {"params": p}, t, a, k, num_frames=nf, steps_per_frame=25,
+                method=model.rollout_tokens,
+            ),
+            params, tokens, actions, key,
+        )
+        _sync(comp(params, tokens, actions, key))
+        dt = best_of(lambda: _sync(comp(params, tokens, actions, key)),
                      args.repeats)
-        print(f"full rollout spf={spf:3d}: {dt * 1e3:8.1f} ms"
-              f"  {nf / dt:7.1f} fps")
+        print(summarize(f"token-only rollout spf=25 ({nf / dt:6.1f} fps)",
+                        dt, cost, peaks))
 
-    # -- token-only rollout ------------------------------------------
-    tokens = model.apply({"params": params}, prompt,
-                         method=model.tokenize_prompt)
+        # -- pixel decode of the full buffer -------------------------
+        buf = comp(params, tokens, actions, key)
+        dcomp, dcost = compile_timed(
+            lambda p, b: model.apply({"params": p}, b,
+                                     method=model.decode_window),
+            params, buf,
+        )
+        _sync(dcomp(params, buf))
+        dt = best_of(lambda: _sync(dcomp(params, buf)), args.repeats)
+        print(summarize(f"pixel decode {int(buf.shape[1])}f", dt, dcost, peaks))
 
-    @jax.jit
-    def tok_roll(params, tokens, actions, key):
-        return model.apply({"params": params}, tokens, actions, key,
-                           num_frames=nf, steps_per_frame=25,
-                           method=model.rollout_tokens)
+        # -- bare cached decode_frame steps --------------------------
+        from open_genie_tpu.models.dynamics import DynamicsModel
 
-    _sync(tok_roll(params, tokens, actions, key))
-    dt = best_of(lambda: _sync(tok_roll(params, tokens, actions, key)),
-                 args.repeats)
-    print(f"token-only rollout spf=25: {dt * 1e3:8.1f} ms  {nf / dt:7.1f} fps")
+        dyn_params = params["dynamics_"]
+        dyn = DynamicsModel(
+            **{**_genie_cfg()["dynamics"],
+               "tok_vocab": 2 ** _genie_cfg()["tokenizer"]["d_codebook"],
+               "act_vocab": 2 ** _genie_cfg()["latent_action"]["d_codebook"]})
+        frame = jnp.zeros((1, 16, 16), jnp.int32)
+        act = jnp.zeros((1,), jnp.int32)
 
-    # -- pixel decode of the full buffer -----------------------------
-    buf = tok_roll(params, tokens, actions, key)
+        for n in (25,):
+            def steps(dyn_params, frame, act, _n=n):
+                cache = dyn.apply({"params": dyn_params}, 1, 16, 16, nf + 1,
+                                  jnp.bfloat16, method=dyn.init_cache)
 
-    @jax.jit
-    def dec(params, buf):
-        return model.apply({"params": params}, buf,
-                           method=model.decode_window)
+                def body(c, _):
+                    logits, c2 = dyn.apply({"params": dyn_params}, frame, act,
+                                           c, 0, method=dyn.decode_frame)
+                    return c2, logits.mean()
 
-    _sync(dec(params, buf))
-    dt = best_of(lambda: _sync(dec(params, buf)), args.repeats)
-    print(f"pixel decode {int(buf.shape[1])} frames: {dt * 1e3:8.1f} ms")
+                _, outs = jax.lax.scan(body, cache, None, length=_n)
+                return outs.sum()
 
-    # -- bare cached decode_frame steps ------------------------------
-    from open_genie_tpu.models.dynamics import DynamicsModel
+            comp, cost = compile_timed(steps, dyn_params, frame, act)
+            _sync(comp(dyn_params, frame, act))
+            dt = best_of(lambda: _sync(comp(dyn_params, frame, act)),
+                         args.repeats)
+            print(summarize(
+                f"decode_frame x{n} ({dt / n * 1e3:5.2f} ms/step) [scan-LB]",
+                dt, cost, peaks))
 
-    dyn_params = params["dynamics_"]
-    dyn = DynamicsModel(
-        **{**_genie_cfg()["dynamics"],
-           "tok_vocab": 2 ** _genie_cfg()["tokenizer"]["d_codebook"],
-           "act_vocab": 2 ** _genie_cfg()["latent_action"]["d_codebook"]})
-    frame = jnp.zeros((1, 16, 16), jnp.int32)
-    act = jnp.zeros((1,), jnp.int32)
+        # Accurate single-step costs (no scan): refine (read-only) and
+        # commit decode_frame programs, lowered standalone.
+        cache0 = dyn.apply({"params": dyn_params}, 1, 16, 16, nf + 1,
+                           jnp.bfloat16, method=dyn.init_cache)
+        pos = jnp.asarray(1, jnp.int32)
+        rcomp, rcost = compile_timed(
+            lambda p, f, a, c, t: dyn.apply(
+                {"params": p}, f, a, c, t, commit=False,
+                method=dyn.decode_frame)[0].mean(),
+            dyn_params, frame, act, cache0, pos,
+        )
+        _sync(rcomp(dyn_params, frame, act, cache0, pos))
+        rdt = best_of(
+            lambda: _sync(rcomp(dyn_params, frame, act, cache0, pos)),
+            args.repeats)
+        print(summarize("refine step (single, exact cost)", rdt, rcost, peaks))
+        ccomp, ccost = compile_timed(
+            lambda p, f, a, c, t: dyn.apply(
+                {"params": p}, f, a, c, t,
+                method=dyn.decode_frame)[0].mean(),
+            dyn_params, frame, act, cache0, pos,
+        )
+        _sync(ccomp(dyn_params, frame, act, cache0, pos))
+        cdt = best_of(
+            lambda: _sync(ccomp(dyn_params, frame, act, cache0, pos)),
+            args.repeats)
+        print(summarize("commit step (single, exact cost)", cdt, ccost, peaks))
 
-    for n in (25, 50):
-        @jax.jit
-        def steps(dyn_params, frame, act, _n=n):
-            cache = dyn.apply({"params": dyn_params}, 1, 16, 16, nf + 1,
-                              jnp.bfloat16, method=dyn.init_cache)
+        # Analytic rollout roofline: per-step exact costs x step counts
+        # over the measured full-rollout time (the scan programs above
+        # under-count). Rollout @ spf: prefill(1) + nf commits + nf*spf
+        # refines, plus the pixel decode program.
+        if 25 in rollout_times:
+            dt25 = rollout_times[25]
+            flops = (
+                (1 + nf) * ccost["flops"] + nf * 25 * rcost["flops"]
+                + dcost["flops"]
+            )
+            bytes_ = (
+                (1 + nf) * ccost["bytes"] + nf * 25 * rcost["bytes"]
+                + dcost["bytes"]
+            )
+            print(summarize(
+                f"ANALYTIC full rollout spf=25 ({nf / dt25:6.1f} fps)",
+                dt25, {"flops": flops, "bytes": bytes_}, peaks))
 
-            def body(c, _):
-                logits, c2 = dyn.apply({"params": dyn_params}, frame, act,
-                                       c, 0, method=dyn.decode_frame)
-                return c2, logits.mean()
+    # -- batch sweep: does the chip scale with B? ---------------------
+    if args.sweep:
+        print("\n# batch sweep, full rollout spf=25 (per-stream / aggregate)")
+        base = None
+        for b in (1, 4, 8):
+            prompt_b = jnp.zeros((b, 1, 64, 64, 3), jnp.bfloat16)
+            actions_b = jnp.zeros((b, nf + 1), jnp.int32)
+            comp, cost = compile_timed(
+                lambda p, pr, a, k: rollout_fn(p, pr, a, k, 25),
+                params, prompt_b, actions_b, key,
+            )
+            _sync(comp(params, prompt_b, actions_b, key))
+            dt = best_of(
+                lambda: _sync(comp(params, prompt_b, actions_b, key)),
+                args.repeats)
+            base = base or dt
+            print(summarize(
+                f"B={b} ({nf / dt:6.1f} fps/stream, {b * nf / dt:7.1f} "
+                f"aggregate, {dt / base:4.2f}x time)",
+                dt, cost, peaks))
 
-            _, outs = jax.lax.scan(body, cache, None, length=_n)
-            return outs.sum()
+    # -- MAGVIT2 tokenize/decode roofline -----------------------------
+    if args.tokenizer:
+        from open_genie_tpu.models.blueprints import (
+            MAGVIT2_DEC_DESC, MAGVIT2_ENC_DESC,
+        )
+        from open_genie_tpu.models.tokenizer import VideoTokenizer
 
-        _sync(steps(dyn_params, frame, act))
-        dt = best_of(lambda: _sync(steps(dyn_params, frame, act)),
-                     args.repeats)
-        print(f"decode_frame x{n}: {dt * 1e3:8.1f} ms"
-              f" -> {dt / n * 1e3:6.2f} ms/step")
+        print("\n# MAGVIT2 d=18 tokenizer @ 1x16x64x64 bf16")
+        tok = VideoTokenizer(
+            enc_desc=MAGVIT2_ENC_DESC, dec_desc=MAGVIT2_DEC_DESC, d_codebook=18
+        )
+        tvideo = jnp.zeros((1, 16, 64, 64, 3), jnp.bfloat16)
+        tparams = _bf16_params(
+            jax.jit(lambda k: tok.init(k, tvideo, train=False))(key)
+        )
+        tcomp, tcost = compile_timed(
+            lambda p, v: tok.apply(p, v, method=tok.tokenize)[1],
+            tparams, tvideo,
+        )
+        idxs = tcomp(tparams, tvideo)
+        _sync(idxs)
+        dt = best_of(lambda: _sync(tcomp(tparams, tvideo)), args.repeats)
+        print(summarize(f"tokenize ({16 / dt:6.1f} fps)", dt, tcost, peaks))
+        # fused-vs-unfused LFQ head (VERDICT r2 item 5: measure or demote)
+        ucomp, ucost = compile_timed(
+            lambda p, v: tok.apply(p, v, method=tok.tokenize, fused=False)[1],
+            tparams, tvideo,
+        )
+        _sync(ucomp(tparams, tvideo))
+        udt = best_of(lambda: _sync(ucomp(tparams, tvideo)), args.repeats)
+        print(summarize(
+            f"tokenize UNFUSED head ({16 / udt:6.1f} fps, fused is "
+            f"{(udt / dt - 1) * 100:+.1f}%)", udt, ucost, peaks))
+        dcomp, dcost = compile_timed(
+            lambda p, i: tok.apply(p, i, method=tok.decode_tokens),
+            tparams, idxs,
+        )
+        _sync(dcomp(tparams, idxs))
+        dt = best_of(lambda: _sync(dcomp(tparams, idxs)), args.repeats)
+        print(summarize(f"decode   ({16 / dt:6.1f} fps)", dt, dcost, peaks))
+
+    # -- tokenizer full-loss train step roofline ----------------------
+    if args.train:
+        from open_genie_tpu.models.blueprints import (
+            MAGVIT2_DEC_DESC, MAGVIT2_ENC_DESC,
+        )
+        from open_genie_tpu.train.loop import (
+            create_train_state, make_optimizer, make_train_step,
+        )
+        from open_genie_tpu.train.losses import (
+            TokenizerTrainModule, frozen_param_mask,
+        )
+
+        b, f = 2, 4
+        print(f"\n# MAGVIT2 full-loss train step @ b{b}f{f} 64x64")
+        module = TokenizerTrainModule(
+            tokenizer=dict(
+                enc_desc=MAGVIT2_ENC_DESC, dec_desc=MAGVIT2_DEC_DESC,
+                d_codebook=18,
+            ),
+            disc_kwargs=dict(
+                inp_size=(64, 64), model_dim=64, dim_mults=(1, 2, 4),
+                down_step=(None, 2, 2), num_groups=8, use_attn=True,
+                num_heads=4, dim_head=32,
+            ),
+            gan_frames_per_batch=4,
+        )
+        sample = jnp.zeros((b, f, 64, 64, 3), jnp.float32)
+        state = create_train_state(module, sample, key, make_optimizer())
+        mask = frozen_param_mask(state.params, ("perc_crit",))
+        opt = make_optimizer(frozen_mask=mask)
+        state = state.replace(opt_state=opt.init(state.params))
+        step = make_train_step(module, opt, compute_dtype=jnp.bfloat16)
+
+        from open_genie_tpu.utils.roofline import cost_analysis
+
+        lowered = step.lower(state, sample)
+        comp = lowered.compile()
+        cost = cost_analysis(comp)
+        state, metrics = comp(state, sample)
+        _sync(metrics["grad_norm"])
+        times = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            state, metrics = comp(state, sample)
+            _sync(metrics["grad_norm"])
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        print(summarize(f"train step ({b * f / dt:6.1f} frames/s)",
+                        dt, cost, peaks))
 
 
 if __name__ == "__main__":
