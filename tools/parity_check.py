@@ -399,6 +399,12 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY_r02.json"))
     ap.add_argument("--configs", default=",".join(CONFIGS))
     ap.add_argument("--timeout", type=float, default=600.0)
+    ap.add_argument(
+        "--merge", action="store_true",
+        help="seed results from an existing --out artifact, so a rerun of "
+        "the subset that timed out (cold compiles on a slow tunnel) keeps "
+        "the configs that already passed this round",
+    )
     args = ap.parse_args()
 
     if args.child:
@@ -407,21 +413,27 @@ def main():
 
     os.makedirs(args.dir, exist_ok=True)
     results = {}
-    all_ok = True
+    if args.merge and os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                results = dict(json.load(f).get("configs", {}))
+            print(f"# merged {len(results)} prior config results from {args.out}")
+        except (OSError, json.JSONDecodeError):
+            results = {}
     for config in args.configs.split(","):
         if not _run_child(config, "cpu", args.dir, args.timeout):
             results[config] = {"ok": False, "error": "cpu child failed"}
-            all_ok = False
             continue
         if not _run_child(config, "tpu", args.dir, args.timeout):
             results[config] = {"ok": False, "error": "tpu child failed"}
-            all_ok = False
             continue
         ok, report = _compare(config, args.dir)
         results[config] = {"ok": ok, "tensors": report}
-        all_ok &= ok
         print(f"# {config}: parity {'OK' if ok else 'MISMATCH'}")
 
+    all_ok = bool(results) and all(
+        r.get("ok") for r in results.values()
+    ) and set(results) >= set(CONFIGS)
     blob = {
         "artifact": "CPU<->TPU parity, BASELINE.md 5-config row",
         "atol": ATOL, "rtol": RTOL,
