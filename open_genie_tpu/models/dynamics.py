@@ -85,19 +85,33 @@ def maskgit_commit(
     Returns `(new_mask, new_code)`. Confidence is the sampled token's
     log-probability (monotone in the reference's softmax probability,
     `dynamics.py:139-148`) -- computed as `logit - logsumexp` so the
-    `(B, HW, V)` softmax tensor is never materialized, and the
-    rank-by-double-argsort is one argsort + a scatter (sampling and
-    ranking were ~30% of a KV-cached refine step's wall clock).
+    `(B, HW, V)` softmax tensor is never materialized. The top-
+    `num_tokens` selection is a descending value-sort + threshold
+    compare, NOT argsort + scatter: TPU scatter serializes per update
+    (B*HW of them), and in-scan profiling showed it was most of the
+    sampling block's wall clock and its only batch-scaling term (the
+    KV-cached model forward itself runs B=8 at B=1 latency). On an exact
+    confidence tie at the threshold both positions commit (measure-zero
+    for float log-probs; a step then just commits one extra token and
+    later steps have fewer left).
 
-    Sampling uses the Gumbel-argmax trick (`jax.random.categorical`)
-    rather than an inverse-CDF walk: inverse-CDF draws one uniform per
-    position (V-fold fewer PRNG bits) but decides by thresholding a float
-    cumsum, and the ~1e-4 cross-backend logit differences flip boundary
-    draws often enough to break CPU<->TPU rollout parity (one flipped
-    token cascades through every later MaskGIT step). Gumbel-argmax
-    decides by an argmax whose margins are O(1), which held bit-exact
-    token parity across backends in the PARITY_r02 artifact; measured
-    rollout speed of the two samplers is identical within tunnel noise.
+    Sampling uses the Gumbel-argmax trick rather than an inverse-CDF
+    walk: inverse-CDF draws one uniform per position (V-fold fewer PRNG
+    bits) but decides by thresholding a float cumsum, and the ~1e-4
+    cross-backend logit differences flip boundary draws often enough to
+    break CPU<->TPU rollout parity (one flipped token cascades through
+    every later MaskGIT step). Gumbel-argmax decides by an argmax whose
+    margins are O(1), which held bit-exact token parity across backends
+    in the PARITY_r02/r03 artifacts.
+
+    The Gumbel noise is drawn in bf16 (then upcast for the argmax):
+    in-scan profiling showed the `(B, HW, V)` noise generation is the
+    rollout's only term that scales with batch (threefry bit generation;
+    the KV-cached model forward is latency-bound and B=8 rides free), and
+    16-bit draws need half the threefry words. Threefry is deterministic
+    across backends and bf16 rounding is too, so parity is unaffected;
+    the ~1e-2 noise quantization is far below the O(1) Gumbel scale and
+    invisible next to the model's own bf16 logits.
     """
     b, hw, v = logits.shape
     logits = logits.astype(jnp.float32) / temp
@@ -106,16 +120,20 @@ def maskgit_commit(
         if top_k < v:
             kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
             logits = jnp.where(logits < kth, -jnp.inf, logits)
-    pred = jax.random.categorical(key, logits, axis=-1)  # (B, HW)
+    # Gumbel-argmax with bf16 noise (see docstring); equivalent to
+    # `jax.random.categorical` up to noise dtype.
+    gumbel = jax.random.gumbel(key, logits.shape, jnp.bfloat16)
+    pred = jnp.argmax(logits + gumbel.astype(jnp.float32), axis=-1)  # (B, HW)
     logp = jnp.take_along_axis(logits, pred[..., None], axis=-1)[..., 0]
     conf = logp - jax.scipy.special.logsumexp(logits, axis=-1)
     conf = jnp.where(mask, conf, -jnp.inf)
 
-    order = jnp.argsort(-conf, axis=-1)  # (B, HW), best first
-    take = jnp.arange(hw)[None, :] < num_tokens
-    commit = jnp.zeros_like(mask).at[
-        jnp.arange(b)[:, None], order
-    ].set(take) & mask
+    sorted_conf = -jnp.sort(-conf, axis=-1)  # (B, HW) descending
+    idx = jnp.clip(num_tokens - 1, 0, hw - 1)
+    thr = jnp.take_along_axis(
+        sorted_conf, jnp.broadcast_to(jnp.reshape(idx, (1, 1)), (b, 1)), axis=1
+    )  # (B, 1): the num_tokens-th best confidence per row
+    commit = (conf >= thr) & mask
 
     code = jnp.where(commit, pred.astype(code.dtype), code)
     return mask & ~commit, code

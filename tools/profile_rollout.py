@@ -70,6 +70,9 @@ def main():
                     help="tokenizer full-loss train step roofline")
     ap.add_argument("--no-breakdown", action="store_true",
                     help="skip the per-stage rollout breakdown")
+    ap.add_argument("--steps-sweep", action="store_true",
+                    help="in-scan per-step timing at B in {1,8}: refine "
+                    "vs commit vs sampling, to localize batch scaling")
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
     if args.all:
@@ -226,6 +229,93 @@ def main():
             print(summarize(
                 f"ANALYTIC full rollout spf=25 ({nf / dt25:6.1f} fps)",
                 dt25, {"flops": flops, "bytes": bytes_}, peaks))
+
+    # -- in-scan per-step decomposition at B in {1, 8} ----------------
+    if args.steps_sweep:
+        from open_genie_tpu.models.dynamics import (
+            DynamicsModel, maskgit_commit,
+        )
+
+        dyn_params = params["dynamics_"]
+        dyn = DynamicsModel(
+            **{**_genie_cfg()["dynamics"],
+               "tok_vocab": 2 ** _genie_cfg()["tokenizer"]["d_codebook"],
+               "act_vocab": 2 ** _genie_cfg()["latent_action"]["d_codebook"]})
+        print("\n# in-scan per-step timing (50 steps), refine mode")
+        n_steps = 50
+        for b in (1, 8):
+            frame_b = jnp.zeros((b, 16, 16), jnp.int32)
+            act_b = jnp.zeros((b,), jnp.int32)
+
+            def refine_loop(dyn_params, frame, act, _b=b):
+                # The frame must depend on the carry: with a constant
+                # input XLA hoists the whole loop-invariant forward out
+                # of the scan and the loop times nothing.
+                cache = dyn.apply({"params": dyn_params}, _b, 16, 16,
+                                  nf + 1, jnp.bfloat16,
+                                  method=dyn.init_cache)
+
+                def body(fr, _):
+                    logits, _ = dyn.apply(
+                        {"params": dyn_params}, fr, act, cache, 1,
+                        commit=False, method=dyn.decode_frame)
+                    fr = (fr + logits[..., 0].astype(jnp.int32)) % 1024
+                    return fr, None
+
+                out, _ = jax.lax.scan(
+                    body, frame, None, length=n_steps)
+                return out.sum()
+
+            def sampling_only_loop(dyn_params, frame, act, _b=b):
+                # maskgit_commit alone over fixed logits (mask/code carry
+                # + per-step keys keep it in the loop).
+                logits0 = jax.random.normal(
+                    key, (_b, 256, dyn.tok_vocab), jnp.float32)
+                mask0 = jnp.ones((_b, 256), bool)
+                code0 = jnp.zeros((_b, 256), jnp.int32)
+                keys = jax.random.split(key, n_steps)
+
+                def body(carry, k):
+                    mask, code = carry
+                    mask, code = maskgit_commit(
+                        k, logits0 + code[..., None], mask, code, 3)
+                    return (mask, code), None
+
+                (mask, code), _ = jax.lax.scan(body, (mask0, code0), keys)
+                return code.sum()
+
+            def sample_loop(dyn_params, frame, act, _b=b):
+                # refine + the full maskgit_commit sampling/rank/commit
+                cache = dyn.apply({"params": dyn_params}, _b, 16, 16,
+                                  nf + 1, jnp.bfloat16,
+                                  method=dyn.init_cache)
+                mask0 = jnp.ones((_b, 256), bool)
+                code0 = jnp.zeros((_b, 256), jnp.int32)
+                keys = jax.random.split(key, n_steps)
+
+                def body(carry, k):
+                    mask, code = carry
+                    fr = jnp.where(mask, 0, code).reshape(_b, 16, 16)
+                    logits, _ = dyn.apply(
+                        {"params": dyn_params}, fr, act, cache, 1,
+                        commit=False, method=dyn.decode_frame)
+                    mask, code = maskgit_commit(
+                        k, logits.reshape(_b, 256, -1), mask, code, 10)
+                    return (mask, code), None
+
+                (mask, code), _ = jax.lax.scan(body, (mask0, code0), keys)
+                return code.sum()
+
+            for label, fn in (("model-only", refine_loop),
+                              ("sampling-only", sampling_only_loop),
+                              ("model+sampling", sample_loop)):
+                comp, _ = compile_timed(fn, dyn_params, frame_b, act_b)
+                _sync(comp(dyn_params, frame_b, act_b))
+                dt = best_of(
+                    lambda: _sync(comp(dyn_params, frame_b, act_b)),
+                    args.repeats)
+                print(f"B={b} {label:>14}: {dt / n_steps * 1e3:6.2f} ms/step"
+                      f" ({dt * 1e3:7.1f} ms total)")
 
     # -- batch sweep: does the chip scale with B? ---------------------
     if args.sweep:
