@@ -543,9 +543,11 @@ def main():
                 results.update(r)
                 _save_result("tokenizer_train", r)
 
-        # Optional serving-latency section, only on leftover budget.
-        if not args.quick and time.monotonic() < deadline - 220:
-            r, _, _ = _run_child("serve", deadline, 200.0, passthru)
+        # Optional serving-latency section, only on leftover budget (the
+        # cap covers a cold compile of the 4 session programs; a timeout
+        # falls back to the persisted same-round number).
+        if not args.quick and time.monotonic() < deadline - 300:
+            r, _, _ = _run_child("serve", deadline, 280.0, passthru)
             if r:
                 results.update(r)
                 live.add("serve")
