@@ -178,10 +178,13 @@ class VideoTokenizer(nn.Module):
         return quant, idxs
 
     def decode_tokens(self, idxs, beta: float = 100.0):
-        """Integer token grid -> video, via the LFQ codebook."""
-        from open_genie_tpu.ops.lfq import codebook_entries
+        """Integer token grid -> video, via the LFQ codebook.
 
-        quant = codebook_entries(idxs, self.d_codebook)
+        Goes through `quant.decode_entries` so the LFQ output projection
+        is applied when the encoder width differs from the codebook width
+        -- feeding raw codewords to the decoder is only valid in the
+        projection-free configuration (`tokenizer.py:319-330`)."""
+        quant = self.quant.decode_entries(idxs)
         return self.decode(quant)
 
     def __call__(

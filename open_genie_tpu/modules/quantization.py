@@ -48,7 +48,30 @@ class LookupFreeQuantization(nn.Module):
             jnp.arange(self.codebook_size), self.codebook_dim
         )
 
-    @nn.compact
+    def setup(self):
+        d, c = self.codebook_dim, self.num_codebook
+        self._input_dim = default(self.input_dim, d * c)
+        self._project = self._input_dim != d * c
+        if self._project:
+            self.proj_inp = nn.Dense(d * c, use_bias=self.use_bias)
+            self.proj_out = nn.Dense(self._input_dim, use_bias=self.use_bias)
+
+    def decode_entries(self, idxs: jnp.ndarray) -> jnp.ndarray:
+        """Integer indices -> the decoder-facing latent.
+
+        Maps indices to their `{-1,+1}^d` codewords and -- crucially --
+        applies `proj_out` when projections exist, so the result has the
+        same width/space the decoder was trained on. Decoding raw
+        codewords (what `ops.lfq.codebook_entries` alone gives) is only
+        correct in the projection-free configuration."""
+        d, c = self.codebook_dim, self.num_codebook
+        ent = lfq_ops.codebook_entries(idxs, d)
+        if c > 1:  # idxs (..., c) -> entries (..., c, d) -> (..., c*d)
+            ent = ent.reshape(*ent.shape[:-2], c * d)
+        if self._project:
+            ent = self.proj_out(ent)
+        return ent
+
     def __call__(
         self,
         x: jnp.ndarray,
@@ -68,12 +91,10 @@ class LookupFreeQuantization(nn.Module):
         `Linear(2^d, d)`).
         """
         d, c = self.codebook_dim, self.num_codebook
-        input_dim = default(self.input_dim, d * c)
-        project = input_dim != d * c
 
         leading = x.shape[:-1]
-        if project:
-            x = nn.Dense(d * c, use_bias=self.use_bias, name="proj_inp")(x)
+        if self._project:
+            x = self.proj_inp(x)
 
         # Split per codebook: (..., c, d)
         x = x.reshape(*leading, c, d)
@@ -81,8 +102,8 @@ class LookupFreeQuantization(nn.Module):
         quant = jnp.sign(x)
 
         out = code.reshape(*leading, c * d)
-        if project:
-            out = nn.Dense(input_dim, use_bias=self.use_bias, name="proj_out")(out)
+        if self._project:
+            out = self.proj_out(out)
 
         if c == 1:
             idxs = idxs.squeeze(-1)

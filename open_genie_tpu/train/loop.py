@@ -283,9 +283,19 @@ class CheckpointWriter:
         import orbax.checkpoint as ocp
 
         step = int(state.step) if step is None else step
+        # A previous (possibly incompatible) run may have left the same
+        # step number in ckpt_dir. orbax's default then silently SKIPS
+        # the save -- the run "succeeds" while the stale checkpoint
+        # survives to explode (or silently restore wrong params) at load
+        # time. force=True only bypasses the save-interval policy (it
+        # raises StepAlreadyExistsError rather than overwrite), so the
+        # stale step must be deleted explicitly first.
+        if step in self._mgr.all_steps():
+            self._mgr.delete(step)
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(flax.serialization.to_state_dict(state)),
+            force=True,
         )
 
     def close(self) -> None:

@@ -103,3 +103,39 @@ def test_restore_missing_returns_step0(tmp_path):
     state = create_train_state(module, sample, KEY, opt)
     restored, step_no = restore_checkpoint(str(tmp_path / "none"), state)
     assert step_no == 0
+
+
+def test_writer_overwrites_stale_same_step(tmp_path):
+    """A ckpt_dir holding the SAME step number from a previous run must be
+    overwritten, not silently skipped: orbax's default skips existing
+    steps, which left a stale incompatible checkpoint behind a train run
+    that appeared to succeed (found via a real restore explosion)."""
+    from open_genie_tpu.train.loop import CheckpointWriter
+
+    module = TokenizerTrainModule(
+        tokenizer=TOK, gan_loss_weight=0.0, perc_loss_weight=0.0,
+    )
+    sample = jnp.zeros((B, T, H, W, 3))
+    opt = make_optimizer(lr=1e-3)
+    state = jax.device_get(create_train_state(module, sample, KEY, opt))
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    w1 = CheckpointWriter(ckpt_dir)
+    w1.save(state, 3)
+    w1.close()
+
+    # "new run" into the same dir: different param values, same step
+    state2 = jax.device_get(
+        create_train_state(module, sample, jax.random.PRNGKey(42), opt)
+    )
+    w2 = CheckpointWriter(ckpt_dir)
+    w2.save(state2, 3)
+    w2.close()
+
+    template = create_train_state(module, sample, jax.random.PRNGKey(9), opt)
+    restored, step_no = restore_checkpoint(ckpt_dir, template)
+    assert step_no == 3
+    a = flax.traverse_util.flatten_dict(jax.device_get(state2.params))
+    b = flax.traverse_util.flatten_dict(jax.device_get(restored.params))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])

@@ -163,3 +163,29 @@ def test_enc_dec_dim_mismatch_raises():
     with pytest.raises(AssertionError):
         tok = VideoTokenizer(enc_desc=ENC, dec_desc=bad_dec, d_codebook=D)
         tok.init(KEY, jnp.zeros((1, 4, 8, 8, 3)), method=tok.tokenize)
+
+
+def test_decode_tokens_projected_config():
+    """When the encoder width differs from d_codebook, LFQ projects in/out
+    around the sign quantizer -- decode_tokens must apply proj_out before
+    the decoder (regression: raw codewords were fed in, which shape-errors
+    at restore time and would mis-decode any projected config, e.g. the
+    stock tokenize.yaml with enc width 64 vs d_codebook 10)."""
+    d = 4
+    enc = (
+        ("causal-conv3d", {"in_channels": 3, "out_channels": 8, "kernel_size": 3}),
+    )
+    dec = (
+        ("causal-conv3d", {"in_channels": 8, "out_channels": 3, "kernel_size": 3}),
+    )
+    tok = VideoTokenizer(enc_desc=enc, dec_desc=dec, d_codebook=d)
+    video = jax.random.uniform(KEY, (B, T, H, W, 3))
+    params = tok.init(KEY, video, train=False)
+    assert "proj_out" in params["params"]["quant"]  # projected config
+    quant, idxs = tok.apply(params, video, method=tok.tokenize)
+    assert quant.shape[-1] == 8  # decoder-facing width, not d_codebook
+    rec_q = tok.apply(params, quant, method=tok.decode)
+    rec_i = tok.apply(params, idxs, method=tok.decode_tokens)
+    np.testing.assert_allclose(
+        np.asarray(rec_q), np.asarray(rec_i), rtol=1e-5, atol=1e-6
+    )
