@@ -298,6 +298,19 @@ class CheckpointWriter:
             force=True,
         )
 
+    def purge(self) -> int:
+        """Delete every existing step in the directory; returns the count.
+
+        For FRESH (non-resume) runs into a reused ckpt_dir: stale steps
+        from an earlier run with numbers above the new run's final step
+        would survive as `latest_step()` and silently restore foreign
+        params at eval/serve time (same failure family as the same-step
+        skip above, but un-fixable at save time)."""
+        steps = list(self._mgr.all_steps())
+        for step in steps:
+            self._mgr.delete(step)
+        return len(steps)
+
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()

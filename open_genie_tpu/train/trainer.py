@@ -7,6 +7,7 @@ functions, invoked by `open_genie_tpu.cli`.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 import time
 from typing import Optional
@@ -660,6 +661,21 @@ def _run_loop(
     # blocking save would stall the step on disk I/O); drained in the
     # finally below so an exception mid-loop still commits staged saves.
     ckpt_writer = CheckpointWriter(tcfg.ckpt_dir)
+    if start_step == 0:
+        # Fresh (non-resume) run claiming a reused ckpt_dir: stale steps
+        # from an earlier run would outlive this one as `latest_step()`
+        # and restore foreign params at eval/serve time.
+        n_stale = ckpt_writer.purge()
+        best_dir = os.path.join(tcfg.ckpt_dir, "best")
+        if os.path.isdir(best_dir):
+            shutil.rmtree(best_dir)
+            n_stale += 1
+        if n_stale:
+            print(
+                f"# ckpt_dir {tcfg.ckpt_dir} held {n_stale} stale "
+                "checkpoint(s) from a previous run -- purged (pass "
+                "--resume to continue a previous run instead)"
+            )
     best_writer = None
     max_steps = tcfg.max_steps or (tcfg.max_epochs * len(loader))
     # Best-checkpoint tracking: ModelCheckpoint(monitor=...) equivalent.

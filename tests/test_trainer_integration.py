@@ -237,3 +237,42 @@ def test_best_val_checkpoint_and_config_snapshot(tmp_path):
     # save_last: the final step is checkpointed even though
     # ckpt_every_n_steps never fires.
     assert any(name == "2" for name in os.listdir(tcfg.ckpt_dir))
+
+
+def test_fresh_run_purges_stale_ckpt_steps(tmp_path):
+    """A fresh (non-resume) train into a reused ckpt_dir must purge steps
+    left by a previous run: a stale HIGHER-numbered step would survive as
+    `latest_step()` and silently restore foreign params at eval time
+    (found via a real restore of yesterday's step into today's model)."""
+    import os
+
+    from open_genie_tpu.train.loop import restore_params
+
+    def cfg(max_steps):
+        c = ExperimentConfig(
+            model=TokenizerModelConfig(
+                enc_desc=TOK_ENC, dec_desc=TOK_DEC, d_codebook=4,
+                gan_loss_weight=0.0, perc_loss_weight=0.0,
+            ),
+            data=_data_cfg(),
+            trainer=_trainer_cfg(tmp_path, "reused"),
+        )
+        c.trainer.max_steps = max_steps
+        return c
+
+    train_tokenizer(cfg(max_steps=2))  # saves steps 1 and 2
+    state = train_tokenizer(cfg(max_steps=1))  # fresh run, same dir
+
+    steps = sorted(int(n) for n in os.listdir(cfg(1).trainer.ckpt_dir)
+                   if n.isdigit())
+    assert steps == [1], f"stale steps survived the fresh run: {steps}"
+
+    # latest must be THIS run's params, not the stale step-2 ones.
+    restored, step = restore_params(
+        cfg(1).trainer.ckpt_dir, jax.device_get(state.params)
+    )
+    assert step == 1
+    got = flax.traverse_util.flatten_dict(jax.device_get(restored["model"]))
+    want = flax.traverse_util.flatten_dict(jax.device_get(state.params["model"]))
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
