@@ -29,6 +29,32 @@ from open_genie_tpu.ops.rope import apply_rope, rope_frequencies
 from open_genie_tpu.utils import default
 
 
+class _Proj(nn.Module):
+    """Parameters of one QKV projection, exposed for horizontal fusion.
+
+    Same param tree as the `nn.Dense` it replaces (`kernel` + optional
+    `bias` under the module name, lecun-normal/zeros init), but returns
+    the raw arrays so the caller can concatenate the three projections
+    into ONE matmul for self-attention: XLA does not horizontally fuse
+    separate dots, and at decode shapes (256 tokens) the per-op pipeline
+    overhead of three 512-wide matmuls dominates their FLOPs."""
+
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (d_in, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Pre-LayerNorm multi-head attention over `(B, N, C)` sequences.
 
@@ -110,9 +136,20 @@ class Attention(nn.Module):
                 f"width {val.shape[-1]}"
             )
 
-        q = nn.Dense(hid, use_bias=self.bias, name="to_q")(qry)
-        k = nn.Dense(hid, use_bias=self.bias, name="to_k")(key)
-        v = nn.Dense(hid, use_bias=self.bias, name="to_v")(val)
+        wq, bq = _Proj(hid, self.bias, name="to_q")(qry.shape[-1])
+        wk, bk = _Proj(hid, self.bias, name="to_k")(key.shape[-1])
+        wv, bv = _Proj(hid, self.bias, name="to_v")(val.shape[-1])
+        if key is qry and val is qry:
+            # Self-attention: one (C, 3*hid) matmul instead of three.
+            w = jnp.concatenate([wq, wk, wv], axis=1)
+            qkv = qry @ w
+            if self.bias:
+                qkv = qkv + jnp.concatenate([bq, bk, bv])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = qry @ wq + (bq if self.bias else 0)
+            k = key @ wk + (bk if self.bias else 0)
+            v = val @ wv + (bv if self.bias else 0)
 
         def split(t):
             b, n, _ = t.shape
