@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--steps-sweep", action="store_true",
                     help="in-scan per-step timing at B in {1,8}: refine "
                     "vs commit vs sampling, to localize batch scaling")
+    ap.add_argument("--trunk-breakdown", action="store_true",
+                    help="attribute the refine forward inside the trunk: "
+                    "k-block sweep (fixed vs per-block cost) + standalone "
+                    "spatial/temporal/FFN stage timings")
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
     if args.all:
@@ -241,20 +245,56 @@ def main():
             **{**_genie_cfg()["dynamics"],
                "tok_vocab": 2 ** _genie_cfg()["tokenizer"]["d_codebook"],
                "act_vocab": 2 ** _genie_cfg()["latent_action"]["d_codebook"]})
-        print("\n# in-scan per-step timing (50 steps), refine mode")
-        n_steps = 50
+        # A single dispatch of ANY program over the tunnel costs ~30 ms
+        # (memory: tunnel-bench playbook), which smears ~30/n_steps ms
+        # into every per-step figure. 200 steps bounds the smear at
+        # ~0.15 ms; the null loop below measures it exactly so per-step
+        # numbers can be read dispatch-corrected.
+        n_steps = 200
+        print(f"\n# in-scan per-step timing ({n_steps} steps), refine mode")
+
+        def null_loop(dyn_params, frame, act):
+            def body(fr, _):
+                return (fr + 1) % 1024, None
+            out, _ = jax.lax.scan(body, frame, None, length=n_steps)
+            return out.sum()
+
+        comp, _ = compile_timed(
+            null_loop, params["dynamics_"],
+            jnp.zeros((1, 16, 16), jnp.int32), jnp.zeros((1,), jnp.int32))
+        _sync(comp(params["dynamics_"], jnp.zeros((1, 16, 16), jnp.int32),
+                   jnp.zeros((1,), jnp.int32)))
+        floor = best_of(
+            lambda: _sync(comp(params["dynamics_"],
+                               jnp.zeros((1, 16, 16), jnp.int32),
+                               jnp.zeros((1,), jnp.int32))),
+            args.repeats)
+        print(f"dispatch floor (null {n_steps}-step scan): "
+              f"{floor * 1e3:6.1f} ms total = "
+              f"{floor / n_steps * 1e3:5.3f} ms/step smear")
+        def rand_cache(d, b):
+            # The cache must be a RANDOM-VALUED ARGUMENT, not a zeros
+            # closure constant: XLA algebraically simplifies dots against
+            # constant-zero buffers, which silently deleted most of the
+            # temporal attention from earlier harnesses (measured: 0.44
+            # ms/step on zeros vs 0.69 real -- the round-3 PARITY numbers
+            # before this fix under-reported the refine cost).
+            zeros = d.apply({"params": dyn_params}, b, 16, 16, nf + 1,
+                            jnp.bfloat16, method=d.init_cache)
+            return jax.tree_util.tree_map(
+                lambda z: jax.random.normal(
+                    key, z.shape, jnp.float32).astype(z.dtype),
+                zeros)
+
         for b in (1, 8):
             frame_b = jnp.zeros((b, 16, 16), jnp.int32)
             act_b = jnp.zeros((b,), jnp.int32)
+            cache_b = rand_cache(dyn, b)
 
-            def refine_loop(dyn_params, frame, act, _b=b):
+            def refine_loop(dyn_params, frame, act, cache, _b=b):
                 # The frame must depend on the carry: with a constant
                 # input XLA hoists the whole loop-invariant forward out
                 # of the scan and the loop times nothing.
-                cache = dyn.apply({"params": dyn_params}, _b, 16, 16,
-                                  nf + 1, jnp.bfloat16,
-                                  method=dyn.init_cache)
-
                 def body(fr, _):
                     logits, _ = dyn.apply(
                         {"params": dyn_params}, fr, act, cache, 1,
@@ -266,7 +306,7 @@ def main():
                     body, frame, None, length=n_steps)
                 return out.sum()
 
-            def sampling_only_loop(dyn_params, frame, act, _b=b):
+            def sampling_only_loop(dyn_params, frame, act, cache, _b=b):
                 # maskgit_commit alone over fixed logits (mask/code carry
                 # + per-step keys keep it in the loop).
                 logits0 = jax.random.normal(
@@ -284,11 +324,8 @@ def main():
                 (mask, code), _ = jax.lax.scan(body, (mask0, code0), keys)
                 return code.sum()
 
-            def sample_loop(dyn_params, frame, act, _b=b):
+            def sample_loop(dyn_params, frame, act, cache, _b=b):
                 # refine + the full maskgit_commit sampling/rank/commit
-                cache = dyn.apply({"params": dyn_params}, _b, 16, 16,
-                                  nf + 1, jnp.bfloat16,
-                                  method=dyn.init_cache)
                 mask0 = jnp.ones((_b, 256), bool)
                 code0 = jnp.zeros((_b, 256), jnp.int32)
                 keys = jax.random.split(key, n_steps)
@@ -309,13 +346,151 @@ def main():
             for label, fn in (("model-only", refine_loop),
                               ("sampling-only", sampling_only_loop),
                               ("model+sampling", sample_loop)):
-                comp, _ = compile_timed(fn, dyn_params, frame_b, act_b)
-                _sync(comp(dyn_params, frame_b, act_b))
+                comp, _ = compile_timed(fn, dyn_params, frame_b, act_b,
+                                        cache_b)
+                _sync(comp(dyn_params, frame_b, act_b, cache_b))
                 dt = best_of(
-                    lambda: _sync(comp(dyn_params, frame_b, act_b)),
+                    lambda: _sync(comp(dyn_params, frame_b, act_b, cache_b)),
                     args.repeats)
                 print(f"B={b} {label:>14}: {dt / n_steps * 1e3:6.2f} ms/step"
-                      f" ({dt * 1e3:7.1f} ms total)")
+                      f" ({(dt - floor) / n_steps * 1e3:6.2f} ex-dispatch,"
+                      f" {dt * 1e3:7.1f} ms total)")
+
+    # -- trunk attribution: where the refine forward's time lives -----
+    if args.trunk_breakdown:
+        from open_genie_tpu.models.dynamics import DynamicsModel
+
+        gcfg = _genie_cfg()
+        base_name, base_kw = gcfg["dynamics"]["desc"][0]
+        n_full = int(base_kw.get("n_rep", 1))
+        n_steps = 200
+        frame1 = jnp.zeros((1, 16, 16), jnp.int32)
+        act1 = jnp.zeros((1,), jnp.int32)
+
+        # (a) k-block sweep of the in-scan refine forward: the slope is
+        # the per-block cost; the k=0 intercept bundles the embed+head
+        # cost WITH the ~30 ms tunnel dispatch of the whole scan program
+        # (so it is an upper bound on fixed on-device work). The cache is
+        # a RANDOM-VALUED ARGUMENT (see rand-cache note above): a zeros
+        # closure constant lets XLA delete the temporal-attention dots.
+        print(f"\n# trunk k-block sweep (in-scan refine, B=1, {n_steps} steps)")
+        times_k = {}
+        for k in sorted({0, 1, n_full // 2, n_full}):
+            kw = dict(base_kw, n_rep=k)
+            desc_k = ((base_name, kw),) if k else ()
+            dyn_k = DynamicsModel(
+                desc=desc_k, embed_dim=gcfg["dynamics"]["embed_dim"],
+                tok_vocab=2 ** gcfg["tokenizer"]["d_codebook"],
+                act_vocab=2 ** gcfg["latent_action"]["d_codebook"],
+            )
+            params_k = _bf16_params(jax.jit(
+                lambda kk, _d=dyn_k: _d.init(kk, frame1[:, None],
+                                             act1[:, None], train=False)
+            )(key)["params"])
+            cache_k = jax.tree_util.tree_map(
+                lambda z: jax.random.normal(
+                    key, z.shape, jnp.float32).astype(z.dtype),
+                dyn_k.apply({"params": params_k}, 1, 16, 16, nf + 1,
+                            jnp.bfloat16, method=dyn_k.init_cache))
+
+            def refine_loop(p, frame, act, cache, _d=dyn_k):
+                def body(fr, _):
+                    logits, _ = _d.apply(
+                        {"params": p}, fr, act, cache, 1,
+                        commit=False, method=_d.decode_frame)
+                    fr = (fr + logits[..., 0].astype(jnp.int32)) % 1024
+                    return fr, None
+
+                out, _ = jax.lax.scan(body, frame, None, length=n_steps)
+                return out.sum()
+
+            comp, _ = compile_timed(refine_loop, params_k, frame1, act1,
+                                    cache_k)
+            _sync(comp(params_k, frame1, act1, cache_k))
+            dt = best_of(lambda: _sync(comp(params_k, frame1, act1, cache_k)),
+                         args.repeats)
+            times_k[k] = dt / n_steps
+            print(f"  k={k} blocks: {dt / n_steps * 1e3:6.3f} ms/step")
+        if n_full in times_k and 0 in times_k and n_full:
+            per_block = (times_k[n_full] - times_k[0]) / n_full
+            print(f"  -> fixed (embed+head + dispatch smear):"
+                  f" {times_k[0] * 1e3:6.3f} ms,"
+                  f" per block: {per_block * 1e3:6.3f} ms")
+
+        # (b) standalone block stages at the block's decode shape. Every
+        # buffer the stage reads (KV cache, FFN kernel/norm params) is a
+        # randomized ARGUMENT -- zeros closures get algebraically folded
+        # (zero kernel => conv deleted => the loop times an identity).
+        from open_genie_tpu.modules.attention import (
+            SpatialAttention, TemporalAttention, _per_frame_group_norm,
+            _time_valid_conv,
+        )
+
+        heads = base_kw.get("n_head", 8)
+        dh = base_kw.get("d_head", 64)
+        c = base_kw.get("n_embd") or heads * dh
+        x1 = jax.random.normal(key, (1, 1, 16, 16, c), jnp.float32
+                               ).astype(jnp.bfloat16)
+        print(f"# block stages @ (1,1,16,16,{c}) bf16, in-scan")
+
+        def _rand(shape, dtype=jnp.bfloat16):
+            return jax.random.normal(key, shape, jnp.float32).astype(dtype)
+
+        sa = SpatialAttention(n_head=heads, d_head=dh, d_inp=c, d_out=c)
+        sa_params = _bf16_params(jax.jit(sa.init)(key, x1)["params"])
+
+        def sa_loop(p, x, _aux):
+            def body(xc, _):
+                return sa.apply({"params": p}, xc) + xc, None
+            out, _ = jax.lax.scan(body, x, None, length=n_steps)
+            return out.sum()
+
+        ta = TemporalAttention(n_head=heads, d_head=dh, d_inp=c, d_out=c,
+                               causal=True)
+        kbuf0 = _rand((256, heads, nf + 1, dh))
+        ta_params = _bf16_params(jax.jit(
+            lambda kk: ta.init(kk, x1, kv_cache=(kbuf0, kbuf0), cache_pos=1,
+                               cache_write=False)
+        )(key)["params"])
+
+        def ta_loop(p, x, aux):
+            kbuf, vbuf = aux["k"], aux["v"]
+
+            def body(xc, _):
+                out, _kv = ta.apply({"params": p}, xc, kv_cache=(kbuf, vbuf),
+                                    cache_pos=1, cache_write=False)
+                return out + xc, None
+            out, _ = jax.lax.scan(body, x, None, length=n_steps)
+            return out.sum()
+
+        kt = base_kw.get("kernel_size", 3)
+
+        def ffn_loop(_p, x, aux):
+            def body(xc, _):
+                xn = _per_frame_group_norm(xc, aux["scale"], aux["bias"],
+                                           heads)
+                out = aux["h"] + _time_valid_conv(
+                    xn, aux["kernel"][kt - 1:], aux["bias"])
+                return out + xc, None
+            out, _ = jax.lax.scan(body, x, None, length=n_steps)
+            return out.sum()
+
+        stage_aux = (
+            ("spatial attn", sa_loop, sa_params, {}),
+            ("temporal attn", ta_loop, ta_params,
+             {"k": kbuf0, "v": _rand((256, heads, nf + 1, dh))}),
+            ("FFN refine", ffn_loop, {},
+             {"kernel": _rand((kt, 3, 3, c, c)) * 0.02,
+              "scale": _rand((c,)), "bias": _rand((c,)),
+              "h": _rand((1, 1, 16, 16, c))}),
+        )
+        for label, fn, p, aux in stage_aux:
+            comp, _ = compile_timed(fn, p, x1, aux)
+            _sync(comp(p, x1, aux))
+            dt = best_of(lambda: _sync(comp(p, x1, aux)), args.repeats)
+            print(f"  {label:>14}: {dt / n_steps * 1e3:6.3f} ms/step"
+                  f" ({(dt / n_steps - times_k.get(0, 0.0)) * 1e3:+6.3f}"
+                  " vs k=0 floor)")
 
     # -- batch sweep: does the chip scale with B? ---------------------
     if args.sweep:

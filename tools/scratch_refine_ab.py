@@ -1,0 +1,167 @@
+"""Progressive-ingredient A/B of the MaskGIT refine step on the chip.
+
+The isolated 200-step refine loop (static pos, static num_tokens, cache
+as a random argument) runs 0.43-0.44 ms/step ex-dispatch, but the real
+rollout's spf-sweep slope is ~0.65 ms/step. This adds the real loop's
+ingredients one at a time to find which one pays the difference:
+
+  V0  static pos, static ntok          (the fast harness)
+  V1  + dynamic num_tokens (scan xs)   (real schedule plumbing)
+  V2  + dynamic pos (device scalar)    (real tgt plumbing)
+  V3  outer frame scan carrying the cache, inner refine closing over
+      it, one commit per frame         (the real rollout structure)
+
+Scratch diagnostics -- not part of the bench contract.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_tpu_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import _bf16_params, _genie_cfg
+from open_genie_tpu.models.dynamics import DynamicsModel, maskgit_commit
+
+REPEATS = 5
+N_STEPS = 200
+TMAX = 17
+
+
+def _sync(x):
+    return float(np.asarray(x).sum())
+
+
+def best_of(fn):
+    ts = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    g = _genie_cfg()
+    dyn = DynamicsModel(
+        **{**g["dynamics"],
+           "tok_vocab": 2 ** g["tokenizer"]["d_codebook"],
+           "act_vocab": 2 ** g["latent_action"]["d_codebook"]}
+    )
+    key = jax.random.PRNGKey(0)
+    frame0 = jnp.zeros((1, 1, 16, 16), jnp.int32)
+    act0 = jnp.zeros((1, 1), jnp.int32)
+    params = _bf16_params(
+        jax.jit(lambda k: dyn.init(k, frame0, act0, train=False))(key)["params"]
+    )
+    cache = jax.tree_util.tree_map(
+        lambda z: jax.random.normal(key, z.shape, jnp.float32).astype(z.dtype),
+        dyn.apply({"params": params}, 1, 16, 16, TMAX, jnp.bfloat16,
+                  method=dyn.init_cache))
+    act1 = jnp.zeros((1,), jnp.int32)
+    schedule = jnp.full((N_STEPS,), 10, jnp.int32)
+    keys = jax.random.split(key, N_STEPS)
+
+    # dispatch floor
+    def null_loop(p, fr):
+        def body(f, _):
+            return (f + 1) % 1024, None
+        out, _ = jax.lax.scan(body, fr, None, length=N_STEPS)
+        return out.sum()
+
+    fr0 = jnp.zeros((1, 16, 16), jnp.int32)
+    comp = jax.jit(null_loop).lower(params, fr0).compile()
+    _sync(comp(params, fr0))
+    floor = best_of(lambda: _sync(comp(params, fr0)))
+    print(f"dispatch floor: {floor * 1e3:6.1f} ms")
+
+    def refine_body(p, mask, code, sk, ntok, pos, cch):
+        fr = jnp.where(mask, 0, code).reshape(1, 16, 16)
+        logits, _ = dyn.apply({"params": p}, fr, act1, cch, pos,
+                              commit=False, method=dyn.decode_frame)
+        return maskgit_commit(sk, logits.reshape(1, 256, -1), mask, code, ntok)
+
+    mask0 = jnp.ones((1, 256), bool)
+    code0 = jnp.zeros((1, 256), jnp.int32)
+
+    # -- V0: static pos, static ntok ---------------------------------
+    def v0(p, cch):
+        def body(carry, sk):
+            mask, code = refine_body(p, *carry, sk, 10, 1, cch)
+            return (mask, code), None
+        (m, c), _ = jax.lax.scan(body, (mask0, code0), keys)
+        return c.sum()
+
+    # -- V1: dynamic ntok (xs) ---------------------------------------
+    def v1(p, cch, sched):
+        def body(carry, inp):
+            ntok, sk = inp
+            mask, code = refine_body(p, *carry, sk, ntok, 1, cch)
+            return (mask, code), None
+        (m, c), _ = jax.lax.scan(body, (mask0, code0), (sched, keys))
+        return c.sum()
+
+    # -- V2: + dynamic pos -------------------------------------------
+    def v2(p, cch, sched, pos):
+        def body(carry, inp):
+            ntok, sk = inp
+            mask, code = refine_body(p, *carry, sk, ntok, pos, cch)
+            return (mask, code), None
+        (m, c), _ = jax.lax.scan(body, (mask0, code0), (sched, keys))
+        return c.sum()
+
+    # -- V3: real structure (outer frame scan carries cache) ---------
+    SPF = 25
+    NF = N_STEPS // SPF  # 8 frames
+
+    def v3(p, cch):
+        sched_f = jnp.full((SPF,), 10, jnp.int32)
+
+        def gen_frame(carry, f_idx):
+            cch, total = carry
+            ks = jax.random.split(jax.random.fold_in(key, f_idx), SPF)
+
+            def body(carry2, inp):
+                ntok, sk = inp
+                mask, code = refine_body(p, *carry2, sk, ntok, f_idx, cch)
+                return (mask, code), None
+
+            (m, c), _ = jax.lax.scan(body, (mask0, code0), (sched_f, ks))
+            fr = c.reshape(1, 16, 16)
+            _, cch = dyn.apply({"params": p}, fr, act1, cch, f_idx,
+                               method=dyn.decode_frame)
+            return (cch, total + fr.sum()), None
+
+        (cch, total), _ = jax.lax.scan(
+            gen_frame, (cch, jnp.zeros((), jnp.int32)), jnp.arange(NF))
+        return total
+
+    pos1 = jnp.asarray(1, jnp.int32)
+    for name, fn, args, steps, n_commit in (
+        ("V0 static", v0, (params, cache), N_STEPS, 0),
+        ("V1 +dyn ntok", v1, (params, cache, schedule), N_STEPS, 0),
+        ("V2 +dyn pos", v2, (params, cache, schedule, pos1), N_STEPS, 0),
+        ("V3 real structure", v3, (params, cache), N_STEPS, NF),
+    ):
+        comp = jax.jit(fn).lower(*args).compile()
+        _sync(comp(*args))
+        dt = best_of(lambda: _sync(comp(*args)))
+        per = (dt - floor) / steps
+        note = f" (incl {n_commit} commits)" if n_commit else ""
+        print(f"{name:>18}: {dt * 1e3:7.1f} ms total, "
+              f"{per * 1e3:6.3f} ms/step ex-dispatch{note}")
+
+
+if __name__ == "__main__":
+    main()
