@@ -167,8 +167,11 @@ class Genie(nn.Module):
         commit pass appends the frame's K/V. Compute per step is O(1) in
         history length, vs O(T) for the full re-forward
         (`rollout_tokens_full`, which also serves non-ST-attention trunks).
-        The whole rollout is a single compiled program (scan over frames,
-        scan over refine steps).
+        The whole rollout is a single compiled program: one scan over
+        frames whose body inlines the `steps_per_frame` refinement passes
+        (`_refine_frame(unroll=True)` -- a nested refine loop reading the
+        scan-carried KV cache costs ~40% extra per step on v5e; see
+        `_refine_frame`).
 
         Args:
           tokens: `(B, T0, H, W)` prompt token grid.
@@ -214,7 +217,7 @@ class Genie(nn.Module):
             )[:, 0]
             frame, cache = self._refine_frame(
                 cache, tgt, act_t, k, schedule, temp, (b, h, w), buf.dtype,
-                top_k=top_k,
+                top_k=top_k, unroll=True,
             )
             buf = lax.dynamic_update_slice_in_dim(
                 buf, frame[:, None], tgt, axis=1
@@ -236,13 +239,28 @@ class Genie(nn.Module):
             return jnp.float32
 
     def _refine_frame(
-        self, cache, tgt, act_t, key, schedule, temp, bhw, dtype, top_k=None
+        self, cache, tgt, act_t, key, schedule, temp, bhw, dtype, top_k=None,
+        unroll=False,
     ):
         """One cached MaskGIT frame generation: `len(schedule)` refinement
         passes over the new frame, then a commit pass that appends the
         finished frame's K/V + FFN window to the caches. Shared by the
         batch rollout (`rollout_tokens`) and the interactive session
         (`session_step`); token-exact between the two given the same key.
+
+        `unroll=True` inlines the refinement scan into the caller's trace
+        instead of emitting a nested `while` loop. When the caller is
+        itself a scan carrying the KV cache (the batch rollout), a nested
+        inner loop reading that carry costs ~+0.18 ms per refinement step
+        on v5e (measured `tools/scratch_refine_ab.py`: 0.44 -> 0.65-0.70
+        ms/step for every nested form -- closure capture vs dual-carry
+        makes no difference, and `lax.cond` bodies or outer-loop unrolling
+        are 2x worse); unrolling the INNER loop removes the nesting and
+        restores the flat-loop rate. Semantically identical either way
+        (same schedule, same key splits), so rollout/serve token parity is
+        unaffected. Single-dispatch callers (`session_step`) keep the
+        compact nested form: their cache is a plain program argument, which
+        pays no nesting penalty.
         """
         b, h, w = bhw
         step_keys = jax.random.split(key, len(schedule))
@@ -262,7 +280,10 @@ class Genie(nn.Module):
             )
             return (mask, code), None
 
-        (mask, code), _ = lax.scan(refine, (mask0, code0), (schedule, step_keys))
+        (mask, code), _ = lax.scan(
+            refine, (mask0, code0), (schedule, step_keys),
+            unroll=len(schedule) if unroll else 1,
+        )
         frame = code.reshape(b, h, w)
         _, cache = self.dynamics_.decode_frame(frame, act_t, cache, tgt)
         return frame, cache
