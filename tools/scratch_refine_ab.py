@@ -147,12 +147,165 @@ def main():
             gen_frame, (cch, jnp.zeros((), jnp.int32)), jnp.arange(NF))
         return total
 
+    # -- V3b: outer scan carries cache, NO commit (passthrough) ------
+    def v3b(p, cch):
+        sched_f = jnp.full((SPF,), 10, jnp.int32)
+
+        def gen_frame(carry, f_idx):
+            cch, total = carry
+            ks = jax.random.split(jax.random.fold_in(key, f_idx), SPF)
+
+            def body(carry2, inp):
+                ntok, sk = inp
+                mask, code = refine_body(p, *carry2, sk, ntok, f_idx, cch)
+                return (mask, code), None
+
+            (m, c), _ = jax.lax.scan(body, (mask0, code0), (sched_f, ks))
+            return (cch, total + c.sum()), None
+
+        (cch, total), _ = jax.lax.scan(
+            gen_frame, (cch, jnp.zeros((), jnp.int32)), jnp.arange(NF))
+        return total
+
+    # -- V3c: Python-unrolled outer loop, with commits ---------------
+    def v3c(p, cch):
+        sched_f = jnp.full((SPF,), 10, jnp.int32)
+        total = jnp.zeros((), jnp.int32)
+        for f in range(NF):
+            ks = jax.random.split(jax.random.fold_in(key, f), SPF)
+
+            def body(carry2, inp, _cch=cch, _f=f):
+                ntok, sk = inp
+                mask, code = refine_body(p, *carry2, sk, ntok, _f, _cch)
+                return (mask, code), None
+
+            (m, c), _ = jax.lax.scan(body, (mask0, code0), (sched_f, ks))
+            fr = c.reshape(1, 16, 16)
+            _, cch = dyn.apply({"params": p}, fr, act1, cch, f,
+                               method=dyn.decode_frame)
+            total = total + fr.sum()
+        return total
+
+    # -- V3d: cache threaded through the INNER carry (unchanged) -----
+    def v3d(p, cch, sched, pos):
+        def body(carry, inp):
+            mask, code, cch = carry
+            ntok, sk = inp
+            mask, code = refine_body(p, mask, code, sk, ntok, pos, cch)
+            return (mask, code, cch), None
+        (m, c, _), _ = jax.lax.scan(body, (mask0, code0, cch), (sched, keys))
+        return c.sum()
+
+    # -- V3e: nested scans, cache in BOTH carries (no commit) --------
+    def v3e(p, cch):
+        sched_f = jnp.full((SPF,), 10, jnp.int32)
+
+        def gen_frame(carry, f_idx):
+            cch, total = carry
+            ks = jax.random.split(jax.random.fold_in(key, f_idx), SPF)
+
+            def body(carry2, inp):
+                mask, code, cch2 = carry2
+                ntok, sk = inp
+                mask, code = refine_body(p, mask, code, sk, ntok, f_idx, cch2)
+                return (mask, code, cch2), None
+
+            (m, c, cch), _ = jax.lax.scan(
+                body, (mask0, code0, cch), (sched_f, ks))
+            return (cch, total + c.sum()), None
+
+        (cch, total), _ = jax.lax.scan(
+            gen_frame, (cch, jnp.zeros((), jnp.int32)), jnp.arange(NF))
+        return total
+
+    # -- V3f: V3e + commit per frame (the candidate real fix) --------
+    def v3f(p, cch):
+        sched_f = jnp.full((SPF,), 10, jnp.int32)
+
+        def gen_frame(carry, f_idx):
+            cch, total = carry
+            ks = jax.random.split(jax.random.fold_in(key, f_idx), SPF)
+
+            def body(carry2, inp):
+                mask, code, cch2 = carry2
+                ntok, sk = inp
+                mask, code = refine_body(p, mask, code, sk, ntok, f_idx, cch2)
+                return (mask, code, cch2), None
+
+            (m, c, cch), _ = jax.lax.scan(
+                body, (mask0, code0, cch), (sched_f, ks))
+            fr = c.reshape(1, 16, 16)
+            _, cch = dyn.apply({"params": p}, fr, act1, cch, f_idx,
+                               method=dyn.decode_frame)
+            return (cch, total + fr.sum()), None
+
+        (cch, total), _ = jax.lax.scan(
+            gen_frame, (cch, jnp.zeros((), jnp.int32)), jnp.arange(NF))
+        return total
+
+    # -- V4: FLAT single scan, lax.cond refine/commit per step -------
+    def v4(p, cch):
+        n_total = NF * (SPF + 1)
+        sched_f = jnp.full((SPF,), 10, jnp.int32)
+        ntoks = jnp.tile(jnp.concatenate(
+            [sched_f, jnp.zeros((1,), jnp.int32)]), (NF,))
+        fkeys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(NF))
+        skeys = jax.vmap(lambda fk: jax.random.split(fk, SPF))(fkeys)
+        skeys = jnp.concatenate([skeys, skeys[:, :1]], axis=1)
+        skeys = skeys.reshape(n_total, *skeys.shape[2:])
+        is_commit = jnp.tile(jnp.arange(SPF + 1) == SPF, (NF,))
+        tgts = jnp.repeat(jnp.arange(NF), SPF + 1)
+
+        def step(carry, inp):
+            mask, code, cch = carry
+            ntok, sk, isc, tgt = inp
+
+            def refine(mask, code, cch):
+                mask, code = refine_body(p, mask, code, sk, ntok, tgt, cch)
+                return mask, code, cch
+
+            def commit(mask, code, cch):
+                fr = code.reshape(1, 16, 16)
+                _, cch = dyn.apply({"params": p}, fr, act1, cch, tgt,
+                                   method=dyn.decode_frame)
+                return jnp.ones_like(mask), jnp.zeros_like(code), cch
+
+            return jax.lax.cond(isc, commit, refine, mask, code, cch), None
+
+        (m, c, cch), _ = jax.lax.scan(
+            step, (mask0, code0, cch), (ntoks, skeys, is_commit, tgts))
+        return c.sum()
+
+    # -- V5: outer scan + inner refine scan UNROLLED into its body ---
+    def v5(p, cch):
+        sched_f = jnp.full((SPF,), 10, jnp.int32)
+
+        def gen_frame(carry, f_idx):
+            cch, total = carry
+            ks = jax.random.split(jax.random.fold_in(key, f_idx), SPF)
+
+            def body(carry2, inp):
+                ntok, sk = inp
+                mask, code = refine_body(p, *carry2, sk, ntok, f_idx, cch)
+                return (mask, code), None
+
+            (m, c), _ = jax.lax.scan(
+                body, (mask0, code0), (sched_f, ks), unroll=SPF)
+            fr = c.reshape(1, 16, 16)
+            _, cch = dyn.apply({"params": p}, fr, act1, cch, f_idx,
+                               method=dyn.decode_frame)
+            return (cch, total + fr.sum()), None
+
+        (cch, total), _ = jax.lax.scan(
+            gen_frame, (cch, jnp.zeros((), jnp.int32)), jnp.arange(NF))
+        return total
+
     pos1 = jnp.asarray(1, jnp.int32)
     for name, fn, args, steps, n_commit in (
         ("V0 static", v0, (params, cache), N_STEPS, 0),
-        ("V1 +dyn ntok", v1, (params, cache, schedule), N_STEPS, 0),
         ("V2 +dyn pos", v2, (params, cache, schedule, pos1), N_STEPS, 0),
         ("V3 real structure", v3, (params, cache), N_STEPS, NF),
+        ("V5 inner-unrolled", v5, (params, cache), N_STEPS + NF, NF),
     ):
         comp = jax.jit(fn).lower(*args).compile()
         _sync(comp(*args))
