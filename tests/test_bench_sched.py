@@ -190,3 +190,62 @@ def test_quick_mode_skips_persistence(harness):
     final, _ = run(argv=("bench.py", "--quick"))
     assert not os.path.exists(bench._RESULTS_FILE)
     assert "serve" not in calls  # optional section skipped in quick mode
+
+
+def test_stalest_saved_section_runs_first(harness):
+    install, run, calls = harness
+    now = time.time()
+    with open(bench._RESULTS_FILE, "w") as f:
+        json.dump({
+            "rollout": {"ts": now - 600, "result": {"rollout_fps": 49.0}},
+            "tokenizer": {"ts": now - 7200,
+                          "result": {"tokenizer_roundtrip_fps": 205.0}},
+            "tokenizer_train": {"ts": now - 3600,
+                                "result": {"tokenizer_train_fps": 55.0}},
+            "serve": {"ts": now - 11 * 3600,
+                      "result": {"serve_ms_p50": 48.0, "serve_ms_p95": 60.0}},
+        }, f)
+    install({
+        "rollout": ok(rollout_fps=50.0),
+        "tokenizer": ok(tokenizer_roundtrip_fps=210.0),
+        "tokenizer_train": ok(tokenizer_train_fps=60.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    run()
+    mand = [c for c in calls if c != "probe"][:4]  # bonus attempts follow
+    # oldest backstop first: serve (11h) > tokenizer (2h) > train (1h) > rollout
+    assert mand == ["serve", "tokenizer", "tokenizer_train", "rollout"]
+
+
+def test_serve_is_mandatory_in_first_pass(harness):
+    install, run, calls = harness
+    # Budget only covers the first pass; serve must still get its slot.
+    install({
+        "rollout": ok(rollout_fps=50.0),
+        "tokenizer": timeout(),
+        "tokenizer_train": timeout(560.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    final, _ = run(budget="1300")
+    assert "serve" in calls
+    assert final["extra"]["serve_ms_p50"] == 20.0
+
+
+def test_section_run_persists_canonical_result(harness, monkeypatch):
+    monkeypatch.setitem(
+        bench.SECTIONS, "rollout", lambda a: {"rollout_fps": 58.0, "spf": 25}
+    )
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--section", "rollout"])
+    bench.main()
+    saved = json.load(open(bench._RESULTS_FILE))
+    assert saved["rollout"]["result"]["rollout_fps"] == 58.0
+    # non-canonical shapes must NOT overwrite the saved entry
+    monkeypatch.setitem(
+        bench.SECTIONS, "rollout", lambda a: {"rollout_fps": 99.0, "spf": 4}
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["bench.py", "--section", "rollout", "--frames", "4"]
+    )
+    bench.main()
+    saved = json.load(open(bench._RESULTS_FILE))
+    assert saved["rollout"]["result"]["rollout_fps"] == 58.0
