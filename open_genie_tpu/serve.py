@@ -68,14 +68,6 @@ class InteractiveSession:
                 p, toks, acts, max_frames, method=genie.session_rebase,
             )
         )
-        self._step = jax.jit(
-            lambda p, buf, cache, t, act, key: genie.apply(
-                p, buf, cache, t, act, key,
-                steps_per_frame=steps_per_frame, temp=temp, which=which,
-                top_k=top_k, method=genie.session_step,
-            )
-        )
-
         # Sliding-window decode with a TRACED window start: one compile,
         # no per-step recompilation. For the first few steps (t < window)
         # the clamped window can include not-yet-generated zero frames;
@@ -99,7 +91,24 @@ class InteractiveSession:
                 pixels, jnp.minimum(t, w) * tf - 1, axis=1, keepdims=False
             )
 
-        self._decode_last = jax.jit(_decode_last)
+        # Token step + newest-frame decode FUSED into one compiled program:
+        # an interactive step is then exactly ONE device dispatch plus the
+        # (B, H', W', C) frame transfer. Over remote/tunneled backends each
+        # dispatch is a synchronous RPC (~10-30 ms), so halving the
+        # dispatches per frame is the dominant serving-latency lever; on a
+        # local chip it also lets XLA overlap the decode's first convs with
+        # the refine scan's tail. The carry buffers (token window + KV
+        # caches, the big one) are donated: the step updates them in place
+        # instead of allocating a fresh ~50 MB cache copy every frame.
+        def _step_decode(p, buf, cache, t, act, key):
+            buf, cache = genie.apply(
+                p, buf, cache, t, act, key,
+                steps_per_frame=steps_per_frame, temp=temp, which=which,
+                top_k=top_k, method=genie.session_step,
+            )
+            return buf, cache, _decode_last(p, buf, t + 1)
+
+        self._step_decode = jax.jit(_step_decode, donate_argnums=(1, 2))
         # Exact prompt decode (static prompt length; compiles once per
         # prompt shape).
         self._decode_prefix = jax.jit(
@@ -161,15 +170,12 @@ class InteractiveSession:
         b = self._buf.shape[0]
         act = jnp.broadcast_to(jnp.asarray(action, jnp.int32), (b,))
         key = self._keys[self._t - self._t0]
-        self._buf, self._cache = self._step(
+        self._buf, self._cache, frame = self._step_decode(
             self.params, self._buf, self._cache,
             jnp.asarray(self._t, jnp.int32), act, key,
         )
         self._t += 1
         self._acts.append(act)
-        frame = self._decode_last(
-            self.params, self._buf, jnp.asarray(self._t, jnp.int32)
-        )
         return np.asarray(frame)
 
     def _renew(self) -> None:
