@@ -454,6 +454,19 @@ class Genie(nn.Module):
         """Decode a token-frame window to pixels (serving helper)."""
         return self.tokenizer_.decode_tokens(tokens)
 
+    def init_pixel_stream(self, batch: int, h: int, w: int, t_max: int):
+        """Streaming pixel-decoder states for a `t_max`-frame session
+        (serving helper; see `VideoTokenizer.init_stream_cache`)."""
+        return self.tokenizer_.init_stream_cache(
+            batch, h, w, t_max, dtype=self._decode_dtype()
+        )
+
+    def decode_stream_frame(self, idxs, dcache, pos):
+        """Stream-decode one token frame to pixels (serving helper; exact
+        vs `decode_window`, O(1) per frame -- see
+        `VideoTokenizer.decode_stream`)."""
+        return self.tokenizer_.decode_stream(idxs, dcache, pos)
+
     def __call__(
         self,
         prompt: jnp.ndarray,

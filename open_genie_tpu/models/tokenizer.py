@@ -187,6 +187,160 @@ class VideoTokenizer(nn.Module):
         quant = self.quant.decode_entries(idxs)
         return self.decode(quant)
 
+    # ------------------------------------------------------------------ #
+    # Streaming decode: O(1)-per-frame pixel decode for serving.
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def _expand_blueprint(blueprint):
+        """`(name, kwargs)` per instantiated layer, honoring `n_rep` --
+        parallel to `parse_blueprint`'s expansion, so entry `i` describes
+        `self.dec_layers[i]`."""
+        out = []
+        for desc in blueprint:
+            if isinstance(desc, str):
+                desc = (desc, {})
+            name, kwargs = desc
+            kwargs = dict(kwargs)
+            kwargs.pop("has_ext", None)
+            n_rep = int(kwargs.pop("n_rep", 1))
+            out.extend([(name, kwargs)] * n_rep)
+        return out
+
+    @nn.nowrap
+    def stream_decodable(self) -> bool:
+        """Static check for the streaming decode path (`decode_stream`).
+
+        Streamable decoder stacks are strictly time-causal with
+        finite temporal state, so a session can decode each new token
+        frame in O(1) work with EXACT equality to the batch decode:
+          * `causal-conv3d` (time stride 1, constant pad) -- carries its
+            causal left-pad window;
+          * `space-time_attn` (single-conv FFN) -- carries temporal KV +
+            FFN windows (the dynamics decode machinery);
+          * `depth2spacetime_upsample` -- carries its conv window;
+          * `depth2space_upsample` -- per-frame, stateless.
+        Attention layers must sit before any `time_factor > 1` upsample
+        (single-position KV decode), and no layer may take external
+        conditioning. Stacks with time-pooled GroupNorm (the stock MAGVIT2
+        decoder) are NOT streamable -- serving falls back to sliding-window
+        decode for those.
+        """
+        if any(
+            (not isinstance(d, str)) and d[1].get("has_ext")
+            for d in self.dec_desc
+        ):
+            return False
+        frames_per_step = 1
+        for name, kw in self._expand_blueprint(self.dec_desc):
+            if name == "causal-conv3d":
+                st = kw.get("stride", 1)
+                st = st if isinstance(st, int) else st[0]
+                if st != 1 or kw.get("pad_mode", "constant") not in (
+                    "constant", "zeros",
+                ):
+                    return False
+            elif name == "space-time_attn":
+                if kw.get("hid_dim") is not None or frames_per_step != 1:
+                    return False
+            elif name == "depth2spacetime_upsample":
+                frames_per_step *= int(kw.get("time_factor", 2))
+            elif name == "depth2time_upsample":
+                frames_per_step *= int(kw.get("factor", 2))
+            elif name == "depth2space_upsample":
+                pass
+            else:
+                return False
+        return True
+
+    @nn.nowrap
+    def init_stream_cache(
+        self, batch: int, h: int, w: int, t_max: int, dtype=jnp.float32
+    ):
+        """Zeroed per-layer streaming-decode states for a `t_max`-token-
+        frame session at token grid `(h, w)`. One entry per decoder layer:
+        conv layers carry their `(B, time_pad, H, W, C_in)` trailing input
+        window (zeros = the causal zero padding at sequence start, so the
+        stream is exact from frame 0), `space-time_attn` layers carry the
+        dynamics-style `{k, v, ffn, fh}` caches, stateless layers carry
+        `None`. Layer dims are read from the blueprint descriptors (like
+        `DynamicsModel.init_cache`)."""
+        assert self.stream_decodable(), (
+            "decoder blueprint is not streamable (see stream_decodable)"
+        )
+        from open_genie_tpu.utils import cast_tuple
+
+        caches = []
+        for name, kw in self._expand_blueprint(self.dec_desc):
+            if name == "causal-conv3d":
+                kt = cast_tuple(kw.get("kernel_size", 3), 3)[0]
+                dt = cast_tuple(kw.get("dilation", 1), 3)[0]
+                tp = (kt - 1) * dt
+                caches.append(
+                    jnp.zeros((batch, tp, h, w, kw["in_channels"]), dtype)
+                )
+            elif name == "space-time_attn":
+                n_head = kw.get("n_head", 8)
+                d_head = kw.get("d_head", 64)
+                heads = n_head[1] if isinstance(n_head, (tuple, list)) else n_head
+                dh = d_head[1] if isinstance(d_head, (tuple, list)) else d_head
+                kt = kw.get("kernel_size", 3)
+                time_hid = heads * dh
+                d_out = kw.get("d_out") or kw.get("n_embd") or time_hid
+                caches.append({
+                    "k": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
+                    "v": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
+                    "ffn": jnp.zeros((batch, kt - 1, h, w, time_hid), dtype),
+                    "fh": jnp.zeros((batch, 1, h, w, d_out), dtype),
+                })
+            elif name == "depth2spacetime_upsample":
+                kt = cast_tuple(kw.get("kernel_size", 1), 3)[0]
+                caches.append(
+                    jnp.zeros((batch, kt - 1, h, w, kw["in_channels"]), dtype)
+                )
+                h *= int(kw.get("space_factor", 2))
+                w *= int(kw.get("space_factor", 2))
+            elif name == "depth2time_upsample":
+                caches.append(None)
+            elif name == "depth2space_upsample":
+                caches.append(None)
+                h *= int(kw.get("factor", 2))
+                w *= int(kw.get("factor", 2))
+        return caches
+
+    def decode_stream(self, idxs, cache, pos):
+        """Streaming decode of ONE token frame against cached history.
+
+        Args:
+          idxs: `(B, H, W)` (or `(B, 1, H, W)`) integer tokens of the frame
+            at position `pos`.
+          cache/pos: streaming states (see `init_stream_cache`) and the
+            token-frame index.
+
+        Returns `(pixels, new_cache)` with `pixels` of shape
+        `(B, time_factor_total, H', W', C)` -- time-expanding decoders emit
+        several pixel frames per token frame. EXACT vs the batch
+        `decode_tokens` (causal convs see the identical windows, attention
+        the identical KV prefix; pinned by tests/test_stream_decode.py), in
+        O(1) work per frame instead of re-decoding a window -- the serving
+        fast path (reference has no serving at all; its closest path
+        re-runs the full decoder per frame, `genie.py:95-105`)."""
+        if idxs.ndim == 3:
+            idxs = idxs[:, None]
+        x = self.quant.decode_entries(idxs)
+        new_cache = []
+        for (name, _), layer, lc in zip(
+            self._expand_blueprint(self.dec_desc), self.dec_layers, cache
+        ):
+            if name == "space-time_attn":
+                x, c = layer(x, None, None, False, cache=lc, cache_pos=pos)
+            elif lc is not None:
+                x, c = layer(x, None, None, False, cache=lc)
+            else:
+                x, c = layer(x, None, None, False), None
+            new_cache.append(c)
+        return x, new_cache
+
     def __call__(
         self,
         video,

@@ -71,8 +71,28 @@ class CausalConv3d(nn.Module):
     def out_dim(self) -> int:
         return self.out_channels
 
+    def stream_state_len(self) -> int:
+        """Temporal state width of the streaming path: the causal left-pad
+        width, i.e. how many trailing input frames a stream step carries."""
+        kt, _, _ = cast_tuple(self.kernel_size, 3)
+        st, _, _ = cast_tuple(self.stride, 3)
+        dt, _, _ = cast_tuple(self.dilation, 3)
+        return causal_time_pad(kt, st, dt)
+
     @nn.compact
-    def __call__(self, x, cond=None, mask=None, train: bool = False):
+    def __call__(self, x, cond=None, mask=None, train: bool = False,
+                 cache=None):
+        """Full causal forward, or streaming single-step decode.
+
+        Streaming mode (`cache` = the `(B, time_pad, H, W, C_in)` trailing
+        input window, zeros at sequence start -- exactly the full forward's
+        causal zero padding): `x` is the next `m >= 1` frames; the conv
+        runs VALID in time over `cache ++ x`, which reproduces the full
+        forward's outputs for those frames bit-for-bit, in O(m) compute
+        regardless of history length. Returns `(out, new_cache)`. Requires
+        time stride 1 and constant pad mode (an edge-replicated time pad
+        depends on the unknown first frame at state init).
+        """
         kt, kh, kw = cast_tuple(self.kernel_size, 3)
         st, sh, sw = cast_tuple(self.stride, 3)
         dt, dh, dw = cast_tuple(self.dilation, 3)
@@ -82,6 +102,24 @@ class CausalConv3d(nn.Module):
         tp = causal_time_pad(kt, st, dt)
         hp = default(pad[0], (kh - 1) // 2)
         wp = default(pad[1], (kw - 1) // 2)
+
+        if cache is not None:
+            assert st == 1, "streaming causal conv requires time stride 1"
+            assert self.pad_mode in ("constant", "zeros"), (
+                "streaming causal conv requires constant time padding"
+            )
+            window = jnp.concatenate([cache.astype(x.dtype), x], axis=1)
+            out = nn.Conv(
+                features=self.out_channels,
+                kernel_size=(kt, kh, kw),
+                strides=(st, sh, sw),
+                kernel_dilation=(dt, dh, dw),
+                padding=((0, 0), (hp, hp), (wp, wp)),
+                use_bias=self.use_bias,
+                name="conv3d",
+            )(window)
+            new_cache = window[:, x.shape[1]:].astype(cache.dtype)
+            return out, new_cache
 
         if self.pad_mode in ("constant", "zeros"):
             padding = ((tp, 0), (hp, hp), (wp, wp))
@@ -198,17 +236,29 @@ class DepthToSpaceTimeUpsample(nn.Module):
     def st_factor(self) -> float:
         return float(self.time_factor * self.space_factor ** 2)
 
+    def stream_state_len(self) -> int:
+        kt, _, _ = cast_tuple(self.kernel_size, 3)
+        return kt - 1
+
     @nn.compact
-    def __call__(self, x, cond=None, mask=None, train: bool = False):
+    def __call__(self, x, cond=None, mask=None, train: bool = False,
+                 cache=None):
+        """Full forward, or streaming decode (`cache` = the inner causal
+        conv's trailing input window; see `CausalConv3d.__call__`). In
+        streaming mode `m` input frames yield `m * time_factor` pixel
+        frames and `(out, new_cache)` is returned."""
         out_ch = default(self.out_channels, self.in_channels)
         p, q = self.time_factor, self.space_factor
-        x = CausalConv3d(
+        conv = CausalConv3d(
             self.in_channels,
             out_ch * p * q * q,
             kernel_size=self.kernel_size,
             name="conv",
-        )(x)
-        return depth_to_spacetime(x, p, q)
+        )
+        if cache is not None:
+            x, new_cache = conv(x, cache=cache)
+            return depth_to_spacetime(x, p, q), new_cache
+        return depth_to_spacetime(conv(x), p, q)
 
 
 class SpaceTimeUpsample(nn.Module):

@@ -28,8 +28,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from open_genie_tpu.models.genie import Genie
+from open_genie_tpu.models.tokenizer import VideoTokenizer
 
 
 class InteractiveSession:
@@ -51,11 +53,22 @@ class InteractiveSession:
         which: str = "linear",
         pixel_window: int = 4,
         top_k=None,
+        stream: bool = None,
     ) -> None:
         self.genie = genie
         self.params = params if "params" in params else {"params": params}
         self.max_frames = max_frames
         self.pixel_window = pixel_window
+        # Streaming pixel decode: when the decoder blueprint is strictly
+        # time-causal with finite state (`VideoTokenizer.stream_decodable`),
+        # each step decodes ONLY the new token frame against cached decoder
+        # state -- EXACT vs the batch decode and O(1) per frame, vs the
+        # sliding-window fallback's `pixel_window` x redundant re-decode
+        # (needed for stacks with time-pooled GroupNorm, e.g. stock
+        # MAGVIT2). `stream=None` auto-detects; False forces the window.
+        if stream is None:
+            stream = VideoTokenizer(**genie.tokenizer).stream_decodable()
+        self.stream = bool(stream)
 
         self._prefill = jax.jit(
             lambda p, prompt, acts: genie.apply(
@@ -109,12 +122,77 @@ class InteractiveSession:
             return buf, cache, _decode_last(p, buf, t + 1)
 
         self._step_decode = jax.jit(_step_decode, donate_argnums=(1, 2))
+
+        # ---- streaming-decode variants (self.stream) ------------------ #
+        # Decoder states live on-device beside the dynamics KV caches; a
+        # step decodes ONLY the new token frame (exact, O(1) work) inside
+        # the same single dispatch as the token step.
+
+        def _stream_prefill_decode(p, buf, t0):
+            """Fresh decoder stream states prefilled over `buf[:, :t0]`
+            (`t0` static); returns `(dcache, pixels (B, t0*tf, H', W', C))`."""
+            b, horizon, h, w = buf.shape
+            dcache = genie.apply(
+                p, b, h, w, horizon, method=genie.init_pixel_stream
+            )
+
+            def body(dc, inp):
+                pos, frame = inp
+                pix, dc = genie.apply(
+                    p, frame, dc, pos, method=genie.decode_stream_frame
+                )
+                return dc, pix
+
+            dcache, pix = lax.scan(
+                body, dcache,
+                (jnp.arange(t0), jnp.moveaxis(buf[:, :t0], 1, 0)),
+            )
+            pix = jnp.moveaxis(pix, 0, 1)  # (B, t0, tf, H', W', C)
+            pixels = pix.reshape(pix.shape[0], -1, *pix.shape[3:])
+            return dcache, pixels
+
+        def _reset_stream(p, prompt, acts):
+            buf, cache, t0 = genie.apply(
+                p, prompt, max_frames, actions=acts,
+                method=genie.session_prefill,
+            )
+            dcache, pixels = _stream_prefill_decode(p, buf, t0)
+            return buf, cache, dcache, t0, pixels
+
+        self._reset_stream = jax.jit(_reset_stream)
+
+        def _rebase_stream(p, toks, acts):
+            buf, cache = genie.apply(
+                p, toks, acts, max_frames, method=genie.session_rebase,
+            )
+            dcache, _ = _stream_prefill_decode(p, buf, toks.shape[1])
+            return buf, cache, dcache
+
+        self._rebase_stream = jax.jit(_rebase_stream)
+
+        def _step_decode_stream(p, buf, cache, dcache, t, act, key):
+            buf, cache = genie.apply(
+                p, buf, cache, t, act, key,
+                steps_per_frame=steps_per_frame, temp=temp, which=which,
+                top_k=top_k, method=genie.session_step,
+            )
+            frame_tok = lax.dynamic_index_in_dim(buf, t, axis=1, keepdims=False)
+            pix, dcache = genie.apply(
+                p, frame_tok, dcache, t, method=genie.decode_stream_frame
+            )
+            # Time-expanding decoders emit tf pixel frames per token frame;
+            # the step's display frame is the newest one.
+            return buf, cache, dcache, pix[:, -1]
+
+        self._step_decode_stream = jax.jit(
+            _step_decode_stream, donate_argnums=(1, 2, 3)
+        )
         # Exact prompt decode (static prompt length; compiles once per
         # prompt shape).
         self._decode_prefix = jax.jit(
             lambda p, tokens: genie.apply(p, tokens, method=genie.decode_window)
         )
-        self._buf = self._cache = None
+        self._buf = self._cache = self._dcache = None
         self._t = 0
         self._t0 = 0
         self._keys = None
@@ -137,7 +215,13 @@ class InteractiveSession:
                 (prompt.shape[0], prompt.shape[1]), jnp.int32
             )
         prompt_actions = jnp.asarray(prompt_actions, jnp.int32)
-        buf, cache, t0 = self._prefill(self.params, prompt, prompt_actions)
+        if self.stream:
+            buf, cache, dcache, t0, pixels = self._reset_stream(
+                self.params, prompt, prompt_actions
+            )
+            self._dcache = dcache
+        else:
+            buf, cache, t0 = self._prefill(self.params, prompt, prompt_actions)
         self._buf, self._cache = buf, cache
         self._t0 = int(t0)
         self._t = self._t0
@@ -155,7 +239,8 @@ class InteractiveSession:
         self._keys = list(
             jax.random.split(jax.random.PRNGKey(seed), self.max_frames)
         )
-        pixels = self._decode_prefix(self.params, buf[:, : self._t0])
+        if not self.stream:
+            pixels = self._decode_prefix(self.params, buf[:, : self._t0])
         return np.asarray(pixels)
 
     def step(self, action) -> np.ndarray:
@@ -170,10 +255,18 @@ class InteractiveSession:
         b = self._buf.shape[0]
         act = jnp.broadcast_to(jnp.asarray(action, jnp.int32), (b,))
         key = self._keys[self._t - self._t0]
-        self._buf, self._cache, frame = self._step_decode(
-            self.params, self._buf, self._cache,
-            jnp.asarray(self._t, jnp.int32), act, key,
-        )
+        t = jnp.asarray(self._t, jnp.int32)
+        if self.stream:
+            self._buf, self._cache, self._dcache, frame = (
+                self._step_decode_stream(
+                    self.params, self._buf, self._cache, self._dcache,
+                    t, act, key,
+                )
+            )
+        else:
+            self._buf, self._cache, frame = self._step_decode(
+                self.params, self._buf, self._cache, t, act, key,
+            )
         self._t += 1
         self._acts.append(act)
         return np.asarray(frame)
@@ -190,7 +283,12 @@ class InteractiveSession:
         keep = self._keep
         toks = self._buf[:, self._t - keep : self._t]
         acts = jnp.stack(self._acts[-keep:], axis=1)
-        self._buf, self._cache = self._rebase(self.params, toks, acts)
+        if self.stream:
+            self._buf, self._cache, self._dcache = self._rebase_stream(
+                self.params, toks, acts
+            )
+        else:
+            self._buf, self._cache = self._rebase(self.params, toks, acts)
         self._acts = self._acts[-keep:]
         self._t0 = keep
         self._t = keep
