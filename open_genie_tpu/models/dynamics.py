@@ -205,6 +205,11 @@ class DynamicsModel(nn.Module):
         are read from the blueprint descriptors directly (constructing
         Flax modules inside a bound method is forbidden).
         """
+        # Round the horizon up to a multiple of 8: attention masks by
+        # position so slack slots are inert, DMA-friendly alignment comes
+        # for free, and the fused Pallas decode kernels
+        # (`ops/pallas/st_decode.py`) require a chunk-aligned time axis.
+        t_max = -(-t_max // 8) * 8
         caches = []
         for desc in self.desc:
             if isinstance(desc, str):

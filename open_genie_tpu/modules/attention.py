@@ -468,6 +468,35 @@ class SpaceTimeAttention(nn.Module):
         space_kw = dict(self.space_attn_kw or {})
         time_kw = dict(self.time_attn_kw or {})
 
+        # Fused-kernel fast path for the read-only refine step: the whole
+        # block (RoPE+LN+QKV+attention x2 + GN+tap-conv FFN, ~30 XLA ops)
+        # runs as 3 Pallas kernels -- at decode shapes the XLA path is
+        # bound by per-op scheduling latency, not compute (PARITY.md
+        # utilization section). Opt-in via OGT_PALLAS_DECODE; parity with
+        # this branch is pinned by tests/test_st_decode_pallas.py.
+        if (
+            decode
+            and not cache_write
+            and not self.is_initializing()
+            and mask is None
+            and self.scale is None
+            and embed == (True, True)
+            and not space_kw
+            and not time_kw
+        ):
+            from open_genie_tpu.ops.pallas import st_decode
+
+            if st_decode.enabled() and st_decode.refine_block_supported(
+                d_inp, space_hid, time_hid, d_out, n_head[0], n_head[1],
+                self.bias, cache["k"].shape[2], self.hid_dim,
+            ):
+                out = st_decode.refine_block(
+                    video, cache, cache_pos, self.variables["params"],
+                    heads=n_head[1], d_head=d_head[1],
+                    kernel_size=self.kernel_size,
+                )
+                return out, dict(cache)
+
         # Spatial attention + 1x1-conv skip when dims change.
         sa = SpatialAttention(
             n_head=n_head[0],

@@ -301,13 +301,22 @@ def main():
         return total
 
     pos1 = jnp.asarray(1, jnp.int32)
-    for name, fn, args, steps, n_commit in (
-        ("V0 static", v0, (params, cache), N_STEPS, 0),
-        ("V2 +dyn pos", v2, (params, cache, schedule, pos1), N_STEPS, 0),
-        ("V3 real structure", v3, (params, cache), N_STEPS, NF),
-        ("V5 inner-unrolled", v5, (params, cache), N_STEPS + NF, NF),
+    for name, fn, args, steps, n_commit, pallas in (
+        ("V0 static", v0, (params, cache), N_STEPS, 0, False),
+        ("V2 +dyn pos", v2, (params, cache, schedule, pos1), N_STEPS, 0, False),
+        ("V3 real structure", v3, (params, cache), N_STEPS, NF, False),
+        ("V5 inner-unrolled", v5, (params, cache), N_STEPS + NF, NF, False),
+        # Same programs traced with the fused Pallas decode kernels
+        # (refine steps only; commits stay XLA).
+        ("V2P pallas", v2, (params, cache, schedule, pos1), N_STEPS, 0, True),
+        ("V5P pallas", v5, (params, cache), N_STEPS + NF, NF, True),
     ):
-        comp = jax.jit(fn).lower(*args).compile()
+        if pallas:
+            os.environ["OGT_PALLAS_DECODE"] = "1"
+        try:
+            comp = jax.jit(fn).lower(*args).compile()
+        finally:
+            os.environ.pop("OGT_PALLAS_DECODE", None)
         _sync(comp(*args))
         dt = best_of(lambda: _sync(comp(*args)))
         per = (dt - floor) / steps
