@@ -174,6 +174,37 @@ def test_session_streaming_frames_match_batch_decode():
         )
 
 
+def test_session_streaming_exact_across_rebase():
+    """After a horizon rebase the decoder stream is re-prefilled over the
+    kept token window; subsequent frames must still equal the batch decode
+    of the live buffer (positions restart on both the token and pixel
+    sides, so the equality is exact)."""
+    from open_genie_tpu.serve import InteractiveSession
+
+    model = Genie(**GENIE_KW)
+    key = jax.random.PRNGKey(0)
+    video = jnp.zeros((1, 2, 16, 16, 3), jnp.float32)
+    params = jax.jit(
+        lambda k: model.init(k, video, k, method=model.init_full)
+    )(key)
+
+    sess = InteractiveSession(model, params, max_frames=2, steps_per_frame=2)
+    sess.reset(np.zeros((1, 1, 16, 16, 3), np.float32), seed=0)
+    frames = [sess.step(i % 2) for i in range(4)]  # rebases after 2 steps
+    assert sess._rebases >= 1
+
+    toks = jnp.asarray(sess.tokens)  # live (kept) window only
+    batch = model.apply(params, toks, method=model.decode_window)
+    tf = batch.shape[1] // toks.shape[1]
+    # The newest frame (generated after the rebase) must match the batch
+    # decode of the live buffer at its position.
+    np.testing.assert_allclose(
+        np.asarray(frames[-1]),
+        np.asarray(batch[:, sess._t * tf - 1]),
+        atol=2e-5, rtol=1e-5,
+    )
+
+
 def test_window_fallback_token_exact_vs_stream():
     """`stream=False` forces the sliding-window decode; the token side is
     decode-mode independent (same keys, same session_step program), so both
