@@ -160,27 +160,55 @@ def _temporal_kernel(
     k_cur = qkv[:, c : 2 * c].reshape(n, heads, d_head)
     v_cur = qkv[:, 2 * c :].reshape(n, heads, d_head)
 
-    # Online softmax over history chunks (t < pos), streamed from HBM.
+    # Online softmax over history chunks (t < pos), streamed from HBM
+    # with double-buffered DMA (chunk c+1's copy overlaps chunk c's math).
     n_chunks = t_max // t_chunk
     m0 = jnp.full((n, heads), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((n, heads), jnp.float32)
     a0 = jnp.zeros((n, heads, d_head), jnp.float32)
 
-    def chunk_body(ci, carry):
-        m, l, acc = carry
+    # Only chunks that can contain t < pos contribute; bounding the loop
+    # by pos makes decode work O(pos), not O(t_max).
+    live_chunks = jnp.minimum(
+        (pos + t_chunk - 1) // t_chunk, n_chunks
+    )
+
+    def start_copy(ci, slot):
         cp = pltpu.make_async_copy(
             k_hbm.at[pl.ds(b * n, n), :, pl.ds(ci * t_chunk, t_chunk), :],
-            k_vmem, sem.at[0],
+            k_vmem.at[slot], sem.at[2 * slot],
         )
         cp.start()
         cv = pltpu.make_async_copy(
             v_hbm.at[pl.ds(b * n, n), :, pl.ds(ci * t_chunk, t_chunk), :],
-            v_vmem, sem.at[1],
+            v_vmem.at[slot], sem.at[2 * slot + 1],
         )
         cv.start()
-        cp.wait()
-        cv.wait()
-        kc = k_vmem[:].astype(jnp.float32)                # (N, H, Tc, D)
+        return cp, cv
+
+    @pl.when(live_chunks > 0)
+    def _():
+        start_copy(0, 0)[0]  # warm-up: first chunk into slot 0
+
+    def chunk_body(ci, carry):
+        m, l, acc = carry
+        slot = ci % 2
+
+        @pl.when(ci + 1 < live_chunks)
+        def _():
+            start_copy(ci + 1, 1 - slot)
+
+        # Wait on this chunk's two DMAs (re-constructed handles wait on
+        # the same semaphores the starts signalled).
+        pltpu.make_async_copy(
+            k_hbm.at[pl.ds(b * n, n), :, pl.ds(ci * t_chunk, t_chunk), :],
+            k_vmem.at[slot], sem.at[2 * slot],
+        ).wait()
+        pltpu.make_async_copy(
+            v_hbm.at[pl.ds(b * n, n), :, pl.ds(ci * t_chunk, t_chunk), :],
+            v_vmem.at[slot], sem.at[2 * slot + 1],
+        ).wait()
+        kc = k_vmem[slot].astype(jnp.float32)             # (N, H, Tc, D)
         logits = jnp.sum(q[:, :, None, :] * kc, axis=-1) * scale  # (N,H,Tc)
         tvals = ci * t_chunk + jax.lax.broadcasted_iota(
             jnp.int32, logits.shape, 2
@@ -196,18 +224,13 @@ def _temporal_kernel(
             m_new[:, :, None] == -jnp.inf, 0.0,
             jnp.exp(logits - m_new[:, :, None]),
         )
-        vc = v_vmem[:].astype(jnp.float32)
+        vc = v_vmem[slot].astype(jnp.float32)
         l = l * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[:, :, None] + jnp.sum(
             p[:, :, :, None] * vc, axis=2
         )
         return m_new, l, acc
 
-    # Only chunks that can contain t < pos contribute; bound the loop by
-    # pos so decode work is O(pos), not O(t_max).
-    live_chunks = jnp.minimum(
-        (pos + t_chunk - 1) // t_chunk, n_chunks
-    )
     m, l, acc = jax.lax.fori_loop(
         0, live_chunks, chunk_body, (m0, l0, a0)
     )
@@ -271,9 +294,9 @@ def temporal_decode(x, pos, ln_scale, ln_bias, wqkv, wo, k_buf, v_buf,
         out_specs=pl.BlockSpec((1, n, c), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((n, heads, t_chunk, d_head), k_buf.dtype),
-            pltpu.VMEM((n, heads, t_chunk, d_head), v_buf.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, n, heads, t_chunk, d_head), k_buf.dtype),
+            pltpu.VMEM((2, n, heads, t_chunk, d_head), v_buf.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     return pl.pallas_call(

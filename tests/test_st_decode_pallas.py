@@ -38,8 +38,9 @@ def layer_and_state():
         "ffn": jnp.zeros((B, KT - 1, H, W, C)),
         "fh": jnp.zeros((B, 1, H, W, C)),
     }
-    # Commit a few frames so the caches carry real history.
-    for pos in range(3):
+    # Commit frames past one chunk so the double-buffered multi-chunk
+    # history stream is exercised (T_CHUNK=4, pos=7 -> 2 chunks).
+    for pos in range(7):
         frame = jax.random.normal(
             jax.random.PRNGKey(10 + pos), (B, 1, H, W, C), jnp.float32
         )
@@ -50,7 +51,7 @@ def layer_and_state():
     return mod, params, cache
 
 
-@pytest.mark.parametrize("pos", [0, 3])
+@pytest.mark.parametrize("pos", [0, 3, 7])
 def test_refine_block_matches_xla_decode(layer_and_state, pos):
     mod, params, cache = layer_and_state
     x = jax.random.normal(jax.random.PRNGKey(77), (B, 1, H, W, C))
