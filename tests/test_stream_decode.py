@@ -174,6 +174,45 @@ def test_session_streaming_frames_match_batch_decode():
         )
 
 
+def test_session_streaming_time_expanding_decoder():
+    """Streaming serving with a time-expanding decoder (1 token frame ->
+    2 pixel frames): reset returns t0*tf prompt pixels, each step returns
+    the newest sub-frame, all exactly equal to the batch decode."""
+    from open_genie_tpu.serve import InteractiveSession
+
+    kw = dict(GENIE_KW, tokenizer=TOK_TF2_KW)
+    kw["latent_action"] = dict(GENIE_KW["latent_action"], inp_shape=(8, 8))
+    model = Genie(**kw)
+    key = jax.random.PRNGKey(0)
+    video = jnp.zeros((1, 4, 8, 8, 3), jnp.float32)
+    params = jax.jit(
+        lambda k: model.init(k, video, k, method=model.init_full)
+    )(key)
+
+    sess = InteractiveSession(model, params, max_frames=3, steps_per_frame=2)
+    assert sess.stream
+    prompt = np.linspace(0, 1, 2 * 8 * 8 * 3, dtype=np.float32).reshape(
+        1, 2, 8, 8, 3
+    )
+    first = sess.reset(prompt, seed=0)  # 2 pixel frames -> 1 token frame
+    frames = [sess.step(i % 2) for i in range(2)]
+
+    toks = jnp.asarray(sess.tokens)
+    batch = model.apply(params, toks, method=model.decode_window)
+    tf = batch.shape[1] // toks.shape[1]
+    assert tf == 2
+    assert first.shape[1] == sess._t0 * tf
+    np.testing.assert_allclose(
+        np.asarray(first), np.asarray(batch[:, : sess._t0 * tf]),
+        atol=2e-5, rtol=1e-5,
+    )
+    for i, f in enumerate(frames):
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(batch[:, (sess._t0 + i + 1) * tf - 1]),
+            atol=2e-5, rtol=1e-5,
+        )
+
+
 def test_session_streaming_exact_across_rebase():
     """After a horizon rebase the decoder stream is re-prefilled over the
     kept token window; subsequent frames must still equal the batch decode
