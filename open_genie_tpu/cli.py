@@ -164,7 +164,9 @@ def _play(args):
         steps_per_frame=args.steps_per_frame,
         pixel_window=args.pixel_window,
         top_k=args.top_k,
+        stream=(False if args.no_stream else None),
     )
+    print(f"pixel decode: {'streaming (exact, O(1)/frame)' if sess.stream else f'sliding window ({args.pixel_window} frames)'}")
     prompt = jnp.asarray(
         SyntheticVideo(num_frames=1, height=args.size, width=args.size)[0]
     )[None]
@@ -470,6 +472,10 @@ def main(argv=None):
     pp.add_argument("--max-frames", dest="max_frames", type=int, default=32)
     pp.add_argument("--steps-per-frame", dest="steps_per_frame", type=int, default=8)
     pp.add_argument("--pixel-window", dest="pixel_window", type=int, default=4)
+    pp.add_argument(
+        "--no-stream", dest="no_stream", action="store_true",
+        help="force sliding-window pixel decode even for streamable decoders",
+    )
     pp.add_argument("--top-k", dest="top_k", type=int, default=None,
                     help="restrict sampling to the top-k logits (1 = greedy)")
     pp.add_argument("--ema", action="store_true",
