@@ -486,7 +486,8 @@ class SpaceTimeAttention(nn.Module):
         ):
             from open_genie_tpu.ops.pallas import st_decode
 
-            if st_decode.enabled() and st_decode.refine_block_supported(
+            kmode = st_decode.mode()
+            if kmode is not None and st_decode.refine_block_supported(
                 d_inp, space_hid, time_hid, d_out, n_head[0], n_head[1],
                 self.bias, cache["k"].shape[2], self.hid_dim,
             ):
@@ -494,6 +495,7 @@ class SpaceTimeAttention(nn.Module):
                     video, cache, cache_pos, self.variables["params"],
                     heads=n_head[1], d_head=d_head[1],
                     kernel_size=self.kernel_size,
+                    use_ffn_kernel=(kmode == "full"),
                 )
                 return out, dict(cache)
 

@@ -416,12 +416,18 @@ def ffn_refine(x, gn_scale, gn_bias, tap_kernel, cbias, fh, *, groups: int):
 
 
 def refine_block(video, cache, pos, params, *, heads: int, d_head: int,
-                 kernel_size: int, t_chunk: int = 8):
+                 kernel_size: int, t_chunk: int = 8,
+                 use_ffn_kernel: bool = True):
     """One ST-transformer block's read-only decode step via the fused
     kernels. `video` is `(B, 1, H, W, C)`; `cache` the layer's
     `{k, v, ffn, fh}` dict; `params` the layer's param tree (reads the
     same leaves the XLA decode path reads). Returns the block output
-    `(B, 1, H, W, C)`; the cache is untouched."""
+    `(B, 1, H, W, C)`; the cache is untouched.
+
+    `use_ffn_kernel=False` (env `OGT_PALLAS_DECODE=attn`) keeps the FFN
+    stage on XLA -- profiling shows XLA overlaps the FFN conv with
+    neighboring work, so the kernel may only pay for the attention
+    stages; the A/B in tools/scratch_refine_ab.py measures both."""
     b, _, h, w, c = video.shape
     n = h * w
     x = video.reshape(b, n, c)
@@ -445,33 +451,55 @@ def refine_block(video, cache, pos, params, *, heads: int, d_head: int,
     )
     fp = params["ffn"]
     kt = fp["block_0"]["kernel"].shape[0]
-    out = ffn_refine(
-        x.reshape(b, h, w, c),
-        fp["norm"]["scale"], fp["norm"]["bias"],
-        fp["block_0"]["kernel"][kt - 1],
-        fp["block_0"].get("bias"),
-        cache["fh"].reshape(b, h, w, c) + 0.0,
-        groups=heads,
+    if use_ffn_kernel:
+        out = ffn_refine(
+            x.reshape(b, h, w, c),
+            fp["norm"]["scale"], fp["norm"]["bias"],
+            fp["block_0"]["kernel"][kt - 1],
+            fp["block_0"].get("bias"),
+            cache["fh"].reshape(b, h, w, c),
+            groups=heads,
+        )
+        return out.reshape(b, 1, h, w, c)
+    # XLA FFN (same math as SpaceTimeAttention's decode refine branch).
+    from open_genie_tpu.modules.attention import (
+        _per_frame_group_norm, _time_valid_conv,
     )
-    return out.reshape(b, 1, h, w, c)
+
+    xv = x.reshape(b, 1, h, w, c)
+    xn = _per_frame_group_norm(
+        xv, fp["norm"]["scale"], fp["norm"]["bias"], heads
+    )
+    ffn = cache["fh"].astype(xn.dtype) + _time_valid_conv(
+        xn, fp["block_0"]["kernel"][kt - 1 :], fp["block_0"].get("bias")
+    )
+    return ffn + xv
 
 
-def enabled() -> bool:
+def mode() -> Optional[str]:
     """Dispatch gate for the fused decode kernels, read at trace time.
 
-    `OGT_PALLAS_DECODE=1` opts in on TPU (`=interpret` forces interpreter
-    mode off-TPU, tests/A-B only). Defaults OFF until the on-chip A/B in
-    PARITY.md shows a win for the running config."""
+    `OGT_PALLAS_DECODE=1` opts in on TPU with all three kernels; `=attn`
+    keeps the FFN stage on XLA; `=interpret`/`=interpret-attn` force
+    interpreter mode off-TPU (tests/A-B only). Defaults OFF until the
+    on-chip A/B in PARITY.md shows a win for the running config. Returns
+    None (off), 'full', or 'attn'."""
     import os
 
     v = os.environ.get("OGT_PALLAS_DECODE", "")
     if v in ("", "0", "false"):
-        return False
-    if v == "interpret":
+        return None
+    if v.startswith("interpret"):
         global _INTERPRET
         _INTERPRET = True
-        return True
-    return jax.default_backend() == "tpu"
+        return "attn" if v.endswith("attn") else "full"
+    if jax.default_backend() != "tpu":
+        return None
+    return "attn" if v == "attn" else "full"
+
+
+def enabled() -> bool:
+    return mode() is not None
 
 
 def refine_block_supported(d_inp, space_hid, time_hid, d_out, heads_s,

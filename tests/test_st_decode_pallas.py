@@ -101,6 +101,9 @@ def test_dynamics_decode_dispatch_matches(monkeypatch):
     monkeypatch.setenv("OGT_PALLAS_DECODE", "interpret")
     got = refine(1)
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+    monkeypatch.setenv("OGT_PALLAS_DECODE", "interpret-attn")
+    got_attn = refine(1)
+    np.testing.assert_allclose(got_attn, want, atol=3e-5, rtol=3e-5)
 
 
 def test_refine_block_supported_gate():

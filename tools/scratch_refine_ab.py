@@ -307,12 +307,15 @@ def main():
         ("V3 real structure", v3, (params, cache), N_STEPS, NF, False),
         ("V5 inner-unrolled", v5, (params, cache), N_STEPS + NF, NF, False),
         # Same programs traced with the fused Pallas decode kernels
-        # (refine steps only; commits stay XLA).
-        ("V2P pallas", v2, (params, cache, schedule, pos1), N_STEPS, 0, True),
-        ("V5P pallas", v5, (params, cache), N_STEPS + NF, NF, True),
+        # (refine steps only; commits stay XLA). "attn" keeps FFN on XLA.
+        ("V2P pallas", v2, (params, cache, schedule, pos1), N_STEPS, 0, "1"),
+        ("V5P pallas", v5, (params, cache), N_STEPS + NF, NF, "1"),
+        ("V2A attn-only", v2, (params, cache, schedule, pos1), N_STEPS, 0,
+         "attn"),
+        ("V5A attn-only", v5, (params, cache), N_STEPS + NF, NF, "attn"),
     ):
         if pallas:
-            os.environ["OGT_PALLAS_DECODE"] = "1"
+            os.environ["OGT_PALLAS_DECODE"] = pallas
         try:
             comp = jax.jit(fn).lower(*args).compile()
         finally:
