@@ -495,7 +495,8 @@ class SpaceTimeAttention(nn.Module):
                     video, cache, cache_pos, self.variables["params"],
                     heads=n_head[1], d_head=d_head[1],
                     kernel_size=self.kernel_size,
-                    use_ffn_kernel=(kmode == "full"),
+                    use_ffn_kernel=kmode in ("full", "fuse"),
+                    merge_attn=kmode.startswith("fuse"),
                 )
                 return out, dict(cache)
 

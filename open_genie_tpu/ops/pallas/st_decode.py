@@ -64,16 +64,15 @@ def _layer_norm(x, scale, bias, eps=1e-6):
 # ---------------------------------------------------------------------- #
 
 
-def _spatial_kernel(
-    x_ref, cos_ref, sin_ref, lns_ref, lnb_ref, wqkv_ref, wo_ref, o_ref,
-    *, heads: int, d_head: int, scale: float,
-):
-    x = x_ref[0].astype(jnp.float32)                      # (N, C)
-    xr = x * cos_ref[:] + _rot_half(x) * sin_ref[:]
-    xn = _layer_norm(xr, lns_ref[:], lnb_ref[:])
-    wdt = wqkv_ref.dtype
+def _spatial_math(x, cos, sin, lns, lnb, wqkv, wo, heads, d_head, scale):
+    """Value-level spatial-attention stage (shared by the standalone and
+    merged kernels): RoPE-2d -> LN -> fused QKV -> per-head attention ->
+    out proj -> +skip. `x` is `(N, C)` f32."""
+    xr = x * cos + _rot_half(x) * sin
+    xn = _layer_norm(xr, lns, lnb)
+    wdt = wqkv.dtype
     qkv = jnp.dot(
-        xn.astype(wdt), wqkv_ref[:], preferred_element_type=jnp.float32
+        xn.astype(wdt), wqkv, preferred_element_type=jnp.float32
     )                                                     # (N, 3C)
     c = heads * d_head
     attn_out = jnp.zeros_like(x)
@@ -92,9 +91,20 @@ def _spatial_kernel(
         )
         attn_out = attn_out.at[:, h * d_head : (h + 1) * d_head].set(oh)
     out = jnp.dot(
-        attn_out.astype(wdt), wo_ref[:], preferred_element_type=jnp.float32
+        attn_out.astype(wdt), wo, preferred_element_type=jnp.float32
     )
-    o_ref[0] = (out + x).astype(o_ref.dtype)
+    return out + x
+
+
+def _spatial_kernel(
+    x_ref, cos_ref, sin_ref, lns_ref, lnb_ref, wqkv_ref, wo_ref, o_ref,
+    *, heads: int, d_head: int, scale: float,
+):
+    out = _spatial_math(
+        x_ref[0].astype(jnp.float32), cos_ref[:], sin_ref[:], lns_ref[:],
+        lnb_ref[:], wqkv_ref[:], wo_ref[:], heads, d_head, scale,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def spatial_block(x, ln_scale, ln_bias, wqkv, wo, *, heads: int):
@@ -138,22 +148,18 @@ def spatial_block(x, ln_scale, ln_bias, wqkv, wo, *, heads: int):
 # ---------------------------------------------------------------------- #
 
 
-def _temporal_kernel(
-    pos_ref,  # scalar prefetch (SMEM)
-    x_ref, cos_ref, sin_ref, lns_ref, lnb_ref, wqkv_ref, wo_ref,
-    k_hbm, v_hbm, o_ref,
-    k_vmem, v_vmem, sem,
-    *, heads: int, d_head: int, scale: float, t_chunk: int, t_max: int,
-    n: int,
+def _temporal_math(
+    x, pos, b, cos, sin, lns, lnb, wqkv, wo, k_hbm, v_hbm,
+    k_vmem, v_vmem, sem, heads, d_head, scale, t_chunk, t_max, n,
 ):
-    b = pl.program_id(0)
-    pos = pos_ref[0]
-    x = x_ref[0].astype(jnp.float32)                      # (N, C)
-    xr = x * cos_ref[:] + _rot_half(x) * sin_ref[:]
-    xn = _layer_norm(xr, lns_ref[:], lnb_ref[:])
-    wdt = wqkv_ref.dtype
+    """Value-level temporal decode-attention stage (shared by the
+    standalone and merged kernels). `x` is `(N, C)` f32 at position `pos`
+    of batch row `b`; the KV history streams HBM->VMEM double-buffered."""
+    xr = x * cos + _rot_half(x) * sin
+    xn = _layer_norm(xr, lns, lnb)
+    wdt = wqkv.dtype
     qkv = jnp.dot(
-        xn.astype(wdt), wqkv_ref[:], preferred_element_type=jnp.float32
+        xn.astype(wdt), wqkv, preferred_element_type=jnp.float32
     )
     c = heads * d_head
     q = qkv[:, :c].reshape(n, heads, d_head)
@@ -245,9 +251,26 @@ def _temporal_kernel(
     acc = acc * alpha[:, :, None] + p_s[:, :, None] * v_cur
     out_h = (acc / l[:, :, None]).reshape(n, c)
     out = jnp.dot(
-        out_h.astype(wdt), wo_ref[:], preferred_element_type=jnp.float32
+        out_h.astype(wdt), wo, preferred_element_type=jnp.float32
     )
-    o_ref[0] = (out + x).astype(o_ref.dtype)
+    return out + x
+
+
+def _temporal_kernel(
+    pos_ref,  # scalar prefetch (SMEM)
+    x_ref, cos_ref, sin_ref, lns_ref, lnb_ref, wqkv_ref, wo_ref,
+    k_hbm, v_hbm, o_ref,
+    k_vmem, v_vmem, sem,
+    *, heads: int, d_head: int, scale: float, t_chunk: int, t_max: int,
+    n: int,
+):
+    out = _temporal_math(
+        x_ref[0].astype(jnp.float32), pos_ref[0], pl.program_id(0),
+        cos_ref[:], sin_ref[:], lns_ref[:], lnb_ref[:], wqkv_ref[:],
+        wo_ref[:], k_hbm, v_hbm, k_vmem, v_vmem, sem,
+        heads, d_head, scale, t_chunk, t_max, n,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 def temporal_decode(x, pos, ln_scale, ln_bias, wqkv, wo, k_buf, v_buf,
@@ -307,6 +330,101 @@ def temporal_decode(x, pos, ln_scale, ln_bias, wqkv, wo, k_buf, v_buf,
     )(jnp.asarray(pos, jnp.int32).reshape(1), x, cos, sin,
       ln_scale.astype(jnp.float32), ln_bias.astype(jnp.float32),
       wqkv, wo, k_buf, v_buf)
+
+
+# ---------------------------------------------------------------------- #
+# Merged spatial+temporal attention kernel (one launch per block pair)
+# ---------------------------------------------------------------------- #
+
+
+def _attn_pair_kernel(
+    pos_ref,
+    x_ref, cos2_ref, sin2_ref, lns_s_ref, lnb_s_ref, wqkv_s_ref, wo_s_ref,
+    cos1_ref, sin1_ref, lns_t_ref, lnb_t_ref, wqkv_t_ref, wo_t_ref,
+    k_hbm, v_hbm, o_ref,
+    k_vmem, v_vmem, sem,
+    *, heads: int, d_head: int, scale: float, t_chunk: int, t_max: int,
+    n: int,
+):
+    x = _spatial_math(
+        x_ref[0].astype(jnp.float32), cos2_ref[:], sin2_ref[:],
+        lns_s_ref[:], lnb_s_ref[:], wqkv_s_ref[:], wo_s_ref[:],
+        heads, d_head, scale,
+    )
+    out = _temporal_math(
+        x, pos_ref[0], pl.program_id(0),
+        cos1_ref[:], sin1_ref[:], lns_t_ref[:], lnb_t_ref[:],
+        wqkv_t_ref[:], wo_t_ref[:], k_hbm, v_hbm, k_vmem, v_vmem, sem,
+        heads, d_head, scale, t_chunk, t_max, n,
+    )
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def attn_pair(x, pos, sp, tp, k_buf, v_buf, *, heads: int,
+              t_chunk: int = 8):
+    """Spatial + temporal decode attention merged into ONE kernel launch
+    per block (saves a kernel boundary and an activation HBM round-trip).
+    `sp`/`tp` are the spatial/temporal `Attention` param subtrees."""
+    b, n, c = x.shape
+    d_head = c // heads
+    t_max = k_buf.shape[2]
+    assert t_max % t_chunk == 0, (t_max, t_chunk)
+    freq2 = rope_frequencies(c, kind="2d")
+    phase2 = jnp.repeat(
+        jnp.arange(n, dtype=jnp.float32)[:, None] * freq2[None, :], 2,
+        axis=-1,
+    )
+    freq1 = rope_frequencies(c, kind="1d")
+    phase1 = jnp.repeat(pos.astype(jnp.float32) * freq1, 2, axis=-1)
+
+    def _qkv(p):
+        return jnp.concatenate(
+            [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]],
+            axis=1,
+        )
+
+    kernel = functools.partial(
+        _attn_pair_kernel, heads=heads, d_head=d_head,
+        scale=d_head ** -0.5, t_chunk=t_chunk, t_max=t_max, n=n,
+    )
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((n, c)), full((n, c)), full((c,)), full((c,)),
+            full((c, 3 * c)), full((c, c)),
+            full((1, c)), full((1, c)), full((c,)), full((c,)),
+            full((c, 3 * c)), full((c, c)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, n, heads, t_chunk, d_head), k_buf.dtype),
+            pltpu.VMEM((2, n, heads, t_chunk, d_head), v_buf.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=_INTERPRET,
+    )(jnp.asarray(pos, jnp.int32).reshape(1), x,
+      jnp.cos(phase2), jnp.sin(phase2),
+      sp["norm"]["scale"].astype(jnp.float32),
+      sp["norm"]["bias"].astype(jnp.float32), _qkv(sp),
+      sp["to_out"]["kernel"],
+      jnp.cos(phase1)[None, :], jnp.sin(phase1)[None, :],
+      tp["norm"]["scale"].astype(jnp.float32),
+      tp["norm"]["bias"].astype(jnp.float32), _qkv(tp),
+      tp["to_out"]["kernel"], k_buf, v_buf)
 
 
 # ---------------------------------------------------------------------- #
@@ -417,7 +535,7 @@ def ffn_refine(x, gn_scale, gn_bias, tap_kernel, cbias, fh, *, groups: int):
 
 def refine_block(video, cache, pos, params, *, heads: int, d_head: int,
                  kernel_size: int, t_chunk: int = 8,
-                 use_ffn_kernel: bool = True):
+                 use_ffn_kernel: bool = True, merge_attn: bool = False):
     """One ST-transformer block's read-only decode step via the fused
     kernels. `video` is `(B, 1, H, W, C)`; `cache` the layer's
     `{k, v, ffn, fh}` dict; `params` the layer's param tree (reads the
@@ -439,16 +557,22 @@ def refine_block(video, cache, pos, params, *, heads: int, d_head: int,
         )
 
     sp = params["space_attn"]["attn"]
-    x = spatial_block(
-        x, sp["norm"]["scale"], sp["norm"]["bias"], _qkv(sp),
-        sp["to_out"]["kernel"], heads=heads,
-    )
     tp = params["temp_attn"]["attn"]
-    x = temporal_decode(
-        x, pos, tp["norm"]["scale"], tp["norm"]["bias"], _qkv(tp),
-        tp["to_out"]["kernel"], cache["k"], cache["v"],
-        heads=heads, t_chunk=t_chunk,
-    )
+    if merge_attn:
+        x = attn_pair(
+            x, pos, sp, tp, cache["k"], cache["v"],
+            heads=heads, t_chunk=t_chunk,
+        )
+    else:
+        x = spatial_block(
+            x, sp["norm"]["scale"], sp["norm"]["bias"], _qkv(sp),
+            sp["to_out"]["kernel"], heads=heads,
+        )
+        x = temporal_decode(
+            x, pos, tp["norm"]["scale"], tp["norm"]["bias"], _qkv(tp),
+            tp["to_out"]["kernel"], cache["k"], cache["v"],
+            heads=heads, t_chunk=t_chunk,
+        )
     fp = params["ffn"]
     kt = fp["block_0"]["kernel"].shape[0]
     if use_ffn_kernel:
@@ -476,26 +600,34 @@ def refine_block(video, cache, pos, params, *, heads: int, d_head: int,
     return ffn + xv
 
 
+_MODES = ("full", "attn", "fuse", "fuse-attn")
+
+
 def mode() -> Optional[str]:
     """Dispatch gate for the fused decode kernels, read at trace time.
 
-    `OGT_PALLAS_DECODE=1` opts in on TPU with all three kernels; `=attn`
-    keeps the FFN stage on XLA; `=interpret`/`=interpret-attn` force
-    interpreter mode off-TPU (tests/A-B only). Defaults OFF until the
-    on-chip A/B in PARITY.md shows a win for the running config. Returns
-    None (off), 'full', or 'attn'."""
+    `OGT_PALLAS_DECODE` values (prefix with `interpret:` to force
+    interpreter mode off-TPU, tests/A-B only):
+      1|full    : spatial + temporal + FFN kernels (3 launches/block)
+      attn      : spatial + temporal kernels, FFN on XLA
+      fuse      : merged spatial+temporal kernel + FFN kernel
+      fuse-attn : merged spatial+temporal kernel, FFN on XLA
+    Defaults OFF until the on-chip A/B in PARITY.md shows a win for the
+    running config. Returns the mode name or None (off)."""
     import os
 
     v = os.environ.get("OGT_PALLAS_DECODE", "")
     if v in ("", "0", "false"):
         return None
-    if v.startswith("interpret"):
+    interpret = v.startswith("interpret")
+    if interpret:
         global _INTERPRET
         _INTERPRET = True
-        return "attn" if v.endswith("attn") else "full"
-    if jax.default_backend() != "tpu":
+        v = v.split(":", 1)[1] if ":" in v else "full"
+    elif jax.default_backend() != "tpu":
         return None
-    return "attn" if v == "attn" else "full"
+    v = "full" if v == "1" else v
+    return v if v in _MODES else "full"
 
 
 def enabled() -> bool:

@@ -51,8 +51,9 @@ def layer_and_state():
     return mod, params, cache
 
 
+@pytest.mark.parametrize("merge", [False, True], ids=["split", "merged"])
 @pytest.mark.parametrize("pos", [0, 3, 7])
-def test_refine_block_matches_xla_decode(layer_and_state, pos):
+def test_refine_block_matches_xla_decode(layer_and_state, pos, merge):
     mod, params, cache = layer_and_state
     x = jax.random.normal(jax.random.PRNGKey(77), (B, 1, H, W, C))
     want, _ = mod.apply(
@@ -62,6 +63,7 @@ def test_refine_block_matches_xla_decode(layer_and_state, pos):
     got = st.refine_block(
         x, cache, jnp.asarray(pos), params["params"],
         heads=HEADS, d_head=DH, kernel_size=KT, t_chunk=T_CHUNK,
+        merge_attn=merge,
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5
@@ -98,12 +100,12 @@ def test_dynamics_decode_dispatch_matches(monkeypatch):
         return np.asarray(logits)
 
     want = refine(1)
-    monkeypatch.setenv("OGT_PALLAS_DECODE", "interpret")
-    got = refine(1)
-    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
-    monkeypatch.setenv("OGT_PALLAS_DECODE", "interpret-attn")
-    got_attn = refine(1)
-    np.testing.assert_allclose(got_attn, want, atol=3e-5, rtol=3e-5)
+    for m in ("interpret", "interpret:attn", "interpret:fuse",
+              "interpret:fuse-attn"):
+        monkeypatch.setenv("OGT_PALLAS_DECODE", m)
+        np.testing.assert_allclose(
+            refine(1), want, atol=3e-5, rtol=3e-5, err_msg=m
+        )
 
 
 def test_refine_block_supported_gate():

@@ -313,6 +313,11 @@ def main():
         ("V2A attn-only", v2, (params, cache, schedule, pos1), N_STEPS, 0,
          "attn"),
         ("V5A attn-only", v5, (params, cache), N_STEPS + NF, NF, "attn"),
+        ("V2F fuse", v2, (params, cache, schedule, pos1), N_STEPS, 0,
+         "fuse"),
+        ("V5F fuse", v5, (params, cache), N_STEPS + NF, NF, "fuse"),
+        ("V5FA fuse-attn", v5, (params, cache), N_STEPS + NF, NF,
+         "fuse-attn"),
     ):
         if pallas:
             os.environ["OGT_PALLAS_DECODE"] = pallas
