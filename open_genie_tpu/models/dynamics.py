@@ -205,11 +205,8 @@ class DynamicsModel(nn.Module):
         are read from the blueprint descriptors directly (constructing
         Flax modules inside a bound method is forbidden).
         """
-        # Round the horizon up to a multiple of 8: attention masks by
-        # position so slack slots are inert, DMA-friendly alignment comes
-        # for free, and the fused Pallas decode kernels
-        # (`ops/pallas/st_decode.py`) require a chunk-aligned time axis.
-        t_max = -(-t_max // 8) * 8
+        from open_genie_tpu.modules.attention import st_attn_cache
+
         caches = []
         for desc in self.desc:
             if isinstance(desc, str):
@@ -218,20 +215,10 @@ class DynamicsModel(nn.Module):
             assert name == "space-time_attn", (
                 "cached decode requires an all-space-time_attn dynamics trunk"
             )
-            n_head = kwargs.get("n_head", 8)
-            d_head = kwargs.get("d_head", 64)
-            heads = n_head[1] if isinstance(n_head, (tuple, list)) else n_head
-            dh = d_head[1] if isinstance(d_head, (tuple, list)) else d_head
-            kt = kwargs.get("kernel_size", 3)
-            time_hid = heads * dh
-            d_out = kwargs.get("d_out") or kwargs.get("n_embd") or time_hid
             for _ in range(int(kwargs.get("n_rep", 1))):
-                caches.append({
-                    "k": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
-                    "v": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
-                    "ffn": jnp.zeros((batch, kt - 1, h, w, time_hid), dtype),
-                    "fh": jnp.zeros((batch, 1, h, w, d_out), dtype),
-                })
+                caches.append(
+                    st_attn_cache(kwargs, batch, h, w, t_max, dtype)
+                )
         return caches
 
     def decode_frame(

@@ -456,9 +456,12 @@ class Genie(nn.Module):
 
     def init_pixel_stream(self, batch: int, h: int, w: int, t_max: int):
         """Streaming pixel-decoder states for a `t_max`-frame session
-        (serving helper; see `VideoTokenizer.init_stream_cache`)."""
+        (serving helper; see `VideoTokenizer.init_stream_cache`). State
+        dtype follows the TOKENIZER's params so mixed-precision staged
+        checkpoints (bf16 dynamics + f32 tokenizer) keep the streaming
+        decode exactly equal to the batch decode."""
         return self.tokenizer_.init_stream_cache(
-            batch, h, w, t_max, dtype=self._decode_dtype()
+            batch, h, w, t_max, dtype=self.tokenizer_.stream_dtype()
         )
 
     def decode_stream_frame(self, idxs, dcache, pos):

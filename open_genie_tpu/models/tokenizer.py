@@ -280,19 +280,9 @@ class VideoTokenizer(nn.Module):
                     jnp.zeros((batch, tp, h, w, kw["in_channels"]), dtype)
                 )
             elif name == "space-time_attn":
-                n_head = kw.get("n_head", 8)
-                d_head = kw.get("d_head", 64)
-                heads = n_head[1] if isinstance(n_head, (tuple, list)) else n_head
-                dh = d_head[1] if isinstance(d_head, (tuple, list)) else d_head
-                kt = kw.get("kernel_size", 3)
-                time_hid = heads * dh
-                d_out = kw.get("d_out") or kw.get("n_embd") or time_hid
-                caches.append({
-                    "k": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
-                    "v": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
-                    "ffn": jnp.zeros((batch, kt - 1, h, w, time_hid), dtype),
-                    "fh": jnp.zeros((batch, 1, h, w, d_out), dtype),
-                })
+                from open_genie_tpu.modules.attention import st_attn_cache
+
+                caches.append(st_attn_cache(kw, batch, h, w, t_max, dtype))
             elif name == "depth2spacetime_upsample":
                 kt = cast_tuple(kw.get("kernel_size", 1), 3)[0]
                 caches.append(
@@ -307,6 +297,23 @@ class VideoTokenizer(nn.Module):
                 h *= int(kw.get("factor", 2))
                 w *= int(kw.get("factor", 2))
         return caches
+
+    def stream_dtype(self):
+        """Dtype for streaming-decode states: follows the TOKENIZER's own
+        params (a bf16-cast tokenizer streams bf16 windows/KV; an f32 one
+        stays exact in f32) -- NOT the dynamics trunk's dtype, which can
+        differ in mixed-precision staged checkpoints."""
+        try:
+            import jax
+
+            for leaf in jax.tree_util.tree_leaves(self.variables["params"]):
+                if hasattr(leaf, "dtype") and jnp.issubdtype(
+                    leaf.dtype, jnp.floating
+                ):
+                    return leaf.dtype
+        except Exception:
+            pass
+        return jnp.float32
 
     def decode_stream(self, idxs, cache, pos):
         """Streaming decode of ONE token frame against cached history.

@@ -345,6 +345,31 @@ class TemporalAttention(nn.Module):
         return out.reshape(b, h, w, t, c_out).transpose(0, 3, 1, 2, 4)
 
 
+def st_attn_cache(kwargs: dict, batch: int, h: int, w: int, t_max: int,
+                  dtype) -> dict:
+    """Zeroed `{k, v, ffn, fh}` decode-cache entry for ONE
+    `space-time_attn` layer, with dims read from its blueprint kwargs --
+    the single source of truth for the cache layout, shared by
+    `DynamicsModel.init_cache` and `VideoTokenizer.init_stream_cache`.
+    `t_max` is rounded up to a multiple of 8 (attention masks by position
+    so slack slots are inert; the fused Pallas decode kernels need a
+    chunk-aligned time axis)."""
+    t_max = -(-t_max // 8) * 8
+    n_head = kwargs.get("n_head", 8)
+    d_head = kwargs.get("d_head", 64)
+    heads = n_head[1] if isinstance(n_head, (tuple, list)) else n_head
+    dh = d_head[1] if isinstance(d_head, (tuple, list)) else d_head
+    kt = kwargs.get("kernel_size", 3)
+    time_hid = heads * dh
+    d_out = kwargs.get("d_out") or kwargs.get("n_embd") or time_hid
+    return {
+        "k": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
+        "v": jnp.zeros((batch * h * w, heads, t_max, dh), dtype),
+        "ffn": jnp.zeros((batch, kt - 1, h, w, time_hid), dtype),
+        "fh": jnp.zeros((batch, 1, h, w, d_out), dtype),
+    }
+
+
 def _per_frame_group_norm(x, scale, bias, groups, eps=1e-6):
     """GroupNorm with per-frame statistics on `(B, T, H, W, C)` video --
     the functional twin of ForwardBlock's per-frame `nn.GroupNorm` (stats
@@ -493,8 +518,7 @@ class SpaceTimeAttention(nn.Module):
             ):
                 out = st_decode.refine_block(
                     video, cache, cache_pos, self.variables["params"],
-                    heads=n_head[1], d_head=d_head[1],
-                    kernel_size=self.kernel_size,
+                    heads=n_head[1],
                     use_ffn_kernel=kmode in ("full", "fuse"),
                     merge_attn=kmode.startswith("fuse"),
                 )

@@ -163,8 +163,17 @@ def _temporal_math(
     )
     c = heads * d_head
     q = qkv[:, :c].reshape(n, heads, d_head)
-    k_cur = qkv[:, c : 2 * c].reshape(n, heads, d_head)
-    v_cur = qkv[:, 2 * c :].reshape(n, heads, d_head)
+    # Round the live position's K/V through the CACHE dtype (matching the
+    # XLA read-only branch, attention.py): a bf16 cache means the commit
+    # pass will store bf16-rounded values, and refine steps must see the
+    # same logits the committed history would produce.
+    cdt = k_vmem.dtype
+    k_cur = (
+        qkv[:, c : 2 * c].astype(cdt).astype(jnp.float32)
+    ).reshape(n, heads, d_head)
+    v_cur = (
+        qkv[:, 2 * c :].astype(cdt).astype(jnp.float32)
+    ).reshape(n, heads, d_head)
 
     # Online softmax over history chunks (t < pos), streamed from HBM
     # with double-buffered DMA (chunk c+1's copy overlaps chunk c's math).
@@ -332,6 +341,14 @@ def temporal_decode(x, pos, ln_scale, ln_bias, wqkv, wo, k_buf, v_buf,
       wqkv, wo, k_buf, v_buf)
 
 
+def _qkv_weights(p):
+    """Horizontally fused QKV kernel from an `Attention` param subtree."""
+    return jnp.concatenate(
+        [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]],
+        axis=1,
+    )
+
+
 # ---------------------------------------------------------------------- #
 # Merged spatial+temporal attention kernel (one launch per block pair)
 # ---------------------------------------------------------------------- #
@@ -377,12 +394,6 @@ def attn_pair(x, pos, sp, tp, k_buf, v_buf, *, heads: int,
     freq1 = rope_frequencies(c, kind="1d")
     phase1 = jnp.repeat(pos.astype(jnp.float32) * freq1, 2, axis=-1)
 
-    def _qkv(p):
-        return jnp.concatenate(
-            [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]],
-            axis=1,
-        )
-
     kernel = functools.partial(
         _attn_pair_kernel, heads=heads, d_head=d_head,
         scale=d_head ** -0.5, t_chunk=t_chunk, t_max=t_max, n=n,
@@ -419,11 +430,11 @@ def attn_pair(x, pos, sp, tp, k_buf, v_buf, *, heads: int,
     )(jnp.asarray(pos, jnp.int32).reshape(1), x,
       jnp.cos(phase2), jnp.sin(phase2),
       sp["norm"]["scale"].astype(jnp.float32),
-      sp["norm"]["bias"].astype(jnp.float32), _qkv(sp),
+      sp["norm"]["bias"].astype(jnp.float32), _qkv_weights(sp),
       sp["to_out"]["kernel"],
       jnp.cos(phase1)[None, :], jnp.sin(phase1)[None, :],
       tp["norm"]["scale"].astype(jnp.float32),
-      tp["norm"]["bias"].astype(jnp.float32), _qkv(tp),
+      tp["norm"]["bias"].astype(jnp.float32), _qkv_weights(tp),
       tp["to_out"]["kernel"], k_buf, v_buf)
 
 
@@ -533,9 +544,9 @@ def ffn_refine(x, gn_scale, gn_bias, tap_kernel, cbias, fh, *, groups: int):
 # ---------------------------------------------------------------------- #
 
 
-def refine_block(video, cache, pos, params, *, heads: int, d_head: int,
-                 kernel_size: int, t_chunk: int = 8,
-                 use_ffn_kernel: bool = True, merge_attn: bool = False):
+def refine_block(video, cache, pos, params, *, heads: int,
+                 t_chunk: int = 8, use_ffn_kernel: bool = True,
+                 merge_attn: bool = False):
     """One ST-transformer block's read-only decode step via the fused
     kernels. `video` is `(B, 1, H, W, C)`; `cache` the layer's
     `{k, v, ffn, fh}` dict; `params` the layer's param tree (reads the
@@ -550,12 +561,6 @@ def refine_block(video, cache, pos, params, *, heads: int, d_head: int,
     n = h * w
     x = video.reshape(b, n, c)
 
-    def _qkv(p):
-        return jnp.concatenate(
-            [p["to_q"]["kernel"], p["to_k"]["kernel"], p["to_v"]["kernel"]],
-            axis=1,
-        )
-
     sp = params["space_attn"]["attn"]
     tp = params["temp_attn"]["attn"]
     if merge_attn:
@@ -565,11 +570,11 @@ def refine_block(video, cache, pos, params, *, heads: int, d_head: int,
         )
     else:
         x = spatial_block(
-            x, sp["norm"]["scale"], sp["norm"]["bias"], _qkv(sp),
+            x, sp["norm"]["scale"], sp["norm"]["bias"], _qkv_weights(sp),
             sp["to_out"]["kernel"], heads=heads,
         )
         x = temporal_decode(
-            x, pos, tp["norm"]["scale"], tp["norm"]["bias"], _qkv(tp),
+            x, pos, tp["norm"]["scale"], tp["norm"]["bias"], _qkv_weights(tp),
             tp["to_out"]["kernel"], cache["k"], cache["v"],
             heads=heads, t_chunk=t_chunk,
         )
@@ -615,19 +620,32 @@ def mode() -> Optional[str]:
     Defaults OFF until the on-chip A/B in PARITY.md shows a win for the
     running config. Returns the mode name or None (off)."""
     import os
+    import warnings
 
+    global _INTERPRET
     v = os.environ.get("OGT_PALLAS_DECODE", "")
     if v in ("", "0", "false"):
-        return None
-    interpret = v.startswith("interpret")
-    if interpret:
-        global _INTERPRET
+        return None  # leaves a manually-set _INTERPRET (tests) untouched
+    if v.startswith("interpret"):
         _INTERPRET = True
         v = v.split(":", 1)[1] if ":" in v else "full"
-    elif jax.default_backend() != "tpu":
-        return None
+    else:
+        # Two-way for explicit modes: a process that earlier traced in
+        # interpret mode must not silently keep interpreting.
+        _INTERPRET = False
+        if jax.default_backend() != "tpu":
+            return None
     v = "full" if v == "1" else v
-    return v if v in _MODES else "full"
+    if v in _MODES:
+        return v
+    if v not in ("", "0", "false"):
+        # Unknown values DISABLE the opt-in kernels (never silently
+        # enable a mode the user didn't ask for) but say so once.
+        warnings.warn(
+            f"OGT_PALLAS_DECODE={v!r} is not one of {_MODES}; "
+            "fused decode kernels stay OFF"
+        )
+    return None
 
 
 def enabled() -> bool:

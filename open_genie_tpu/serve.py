@@ -256,17 +256,30 @@ class InteractiveSession:
         act = jnp.broadcast_to(jnp.asarray(action, jnp.int32), (b,))
         key = self._keys[self._t - self._t0]
         t = jnp.asarray(self._t, jnp.int32)
-        if self.stream:
-            self._buf, self._cache, self._dcache, frame = (
-                self._step_decode_stream(
-                    self.params, self._buf, self._cache, self._dcache,
-                    t, act, key,
+        try:
+            if self.stream:
+                self._buf, self._cache, self._dcache, frame = (
+                    self._step_decode_stream(
+                        self.params, self._buf, self._cache, self._dcache,
+                        t, act, key,
+                    )
                 )
-            )
-        else:
-            self._buf, self._cache, frame = self._step_decode(
-                self.params, self._buf, self._cache, t, act, key,
-            )
+            else:
+                self._buf, self._cache, frame = self._step_decode(
+                    self.params, self._buf, self._cache, t, act, key,
+                )
+        except Exception as exc:
+            # The step donates the session carries (buffer + KV caches) to
+            # run in place; a dispatch that dies mid-execution may have
+            # consumed them. Invalidate the session explicitly so the
+            # failure mode is a clear contract, not a later cryptic
+            # "Array has been deleted".
+            self._buf = self._cache = self._dcache = None
+            raise RuntimeError(
+                "InteractiveSession.step failed mid-dispatch; the donated "
+                "session state may be lost -- call reset() to start a new "
+                "session"
+            ) from exc
         self._t += 1
         self._acts.append(act)
         return np.asarray(frame)

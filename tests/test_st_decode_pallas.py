@@ -62,8 +62,7 @@ def test_refine_block_matches_xla_decode(layer_and_state, pos, merge):
     )
     got = st.refine_block(
         x, cache, jnp.asarray(pos), params["params"],
-        heads=HEADS, d_head=DH, kernel_size=KT, t_chunk=T_CHUNK,
-        merge_attn=merge,
+        heads=HEADS, t_chunk=T_CHUNK, merge_attn=merge,
     )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=3e-5, rtol=3e-5
