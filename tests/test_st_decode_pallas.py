@@ -107,6 +107,34 @@ def test_dynamics_decode_dispatch_matches(monkeypatch):
         )
 
 
+def test_refine_block_bf16_matches_xla_decode(layer_and_state):
+    """bf16 params + bf16 caches (the serving configuration): the kernel
+    must track the XLA read-only branch within bf16 tolerance -- in
+    particular the live position's K/V must round through the cache dtype
+    like the XLA path does."""
+    mod, params, cache = layer_and_state
+    params16 = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16)
+        if p.dtype == jnp.float32 else p, params,
+    )
+    cache16 = {k: v.astype(jnp.bfloat16) for k, v in cache.items()}
+    x = jax.random.normal(
+        jax.random.PRNGKey(77), (B, 1, H, W, C)
+    ).astype(jnp.bfloat16)
+    want, _ = mod.apply(
+        params16, x, None, None, False,
+        cache=cache16, cache_pos=jnp.asarray(3), cache_write=False,
+    )
+    got = st.refine_block(
+        x, cache16, jnp.asarray(3), params16["params"],
+        heads=HEADS, t_chunk=T_CHUNK,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.1, rtol=0.05,
+    )
+
+
 def test_refine_block_supported_gate():
     assert st.refine_block_supported(
         512, 512, 512, 512, 8, 8, bias=False, t_max=64, hid_dim=None
