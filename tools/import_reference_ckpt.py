@@ -1,0 +1,99 @@
+"""Import a reference (open-genie / PyTorch-Lightning) checkpoint.
+
+Converts a ``VideoTokenizer`` checkpoint trained with the reference
+implementation into an open-genie-tpu orbax checkpoint directory that
+every ``--ckpt`` consumer (eval, generate, tokenize-data, genie warm
+start, ``--resume``) can load:
+
+    python tools/import_reference_ckpt.py \
+        --ckpt last.ckpt --config configs/tokenize.yaml --out checkpoints/imported
+
+``--ckpt`` accepts a Lightning ``.ckpt`` (the ``state_dict`` entry is
+used), a raw ``torch.save``d state_dict, or an ``.npz`` with the same
+keys.  The YAML config must describe the same blueprint the checkpoint
+was trained with (reference configs load verbatim, so point at the very
+YAML the reference run used).
+
+Loss-module state (``gan_loss.…``/``perc_loss.…``) is not migrated -- the
+discriminator restarts fresh if training continues (see PARITY.md).  The
+mapping itself lives in ``open_genie_tpu/utils/torch_import.py``.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_reference_state_dict(path: str) -> dict:
+    """Deserialize a reference checkpoint into {key: np.ndarray}."""
+    import numpy as np
+
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:  # Lightning .ckpt
+        obj = obj["state_dict"]
+    return {k: np.asarray(v) for k, v in obj.items()}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", required=True, help="reference .ckpt/.pt/.npz")
+    ap.add_argument("--config", required=True, help="tokenizer YAML config")
+    ap.add_argument("--out", required=True, help="output orbax ckpt dir")
+    ap.add_argument(
+        "--step", type=int, default=0,
+        help="step number recorded in the imported checkpoint",
+    )
+    args = ap.parse_args()
+
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.train.config import load_config
+    from open_genie_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        save_checkpoint,
+    )
+    from open_genie_tpu.train.trainer import build_tokenizer_module
+    from open_genie_tpu.utils.torch_import import convert_reference_state_dict
+
+    cfg = load_config(args.config, kind="tokenizer")
+    module = build_tokenizer_module(cfg.model)
+    sample = jnp.zeros(
+        (1, cfg.data.num_frames, cfg.data.height, cfg.data.width, 3),
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(cfg.trainer.seed)
+    state = create_train_state(module, sample, key, make_optimizer())
+
+    sd = load_reference_state_dict(args.ckpt)
+    params = flax.core.unfreeze(state.params)
+    params["model"], skipped = convert_reference_state_dict(
+        sd, params["model"]
+    )
+    n = len(jax.tree.leaves(params["model"]))
+    print(f"# imported {n} param tensors into the model subtree")
+    if skipped:
+        print(f"# skipped {len(skipped)} reference keys (buffers/loss "
+              f"modules), e.g. {skipped[:4]}")
+
+    state = state.replace(
+        params=jax.tree.map(jnp.asarray, params),
+        step=jnp.asarray(args.step, jnp.int32),
+    )
+    save_checkpoint(args.out, state, step=args.step)
+    print(f"# wrote orbax checkpoint step {args.step} to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
