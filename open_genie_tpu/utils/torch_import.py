@@ -209,13 +209,15 @@ def _residual_block(
             down_main = prefix + ".go_down"
         else:  # conv3d.weight / weight (5-D)
             conv_prefixes.append(prefix)
-    if len(norm_prefixes) != 2 or len(conv_prefixes) != 2:
+    want_norms = 2 if "norm1" in tmpl else 0  # use_norm=False has none
+    if len(norm_prefixes) != want_norms or len(conv_prefixes) != 2:
         raise ImportError_(
-            f"{ctx}: expected 2 norms + 2 convs in `main`, found "
+            f"{ctx}: expected {want_norms} norms + 2 convs in `main`, found "
             f"norms={norm_prefixes} convs={conv_prefixes}"
         )
-    out["norm1"] = _norm_entry(ref, norm_prefixes[0], ctx)
-    out["norm2"] = _norm_entry(ref, norm_prefixes[1], ctx)
+    if want_norms:
+        out["norm1"] = _norm_entry(ref, norm_prefixes[0], ctx)
+        out["norm2"] = _norm_entry(ref, norm_prefixes[1], ctx)
     out["conv1"] = _conv_entry(ref, conv_prefixes[0], tmpl["conv1"], ctx)
     out["conv2"] = _conv_entry(ref, conv_prefixes[1], tmpl["conv2"], ctx)
     if "down_main" in tmpl:
