@@ -105,3 +105,54 @@ def test_cli_train_generate_play_eval(genie_yaml, capsys):
     ][-1]
     report = json.loads(report_line)
     assert np.isfinite(report["loss"])
+
+
+def test_cli_staged_pipeline(genie_yaml, capsys):
+    """tokenize-data -> train dynamics -> eval dynamics, argparse-level."""
+    config, tmp = genie_yaml
+    ckpt = os.path.join(tmp, "ckpt")
+    tokens = os.path.join(tmp, "tokens")
+
+    cli.main([
+        "tokenize-data", "--config", config, "--ckpt", ckpt,
+        "--out", tokens, "--limit", "2",
+    ])
+    assert os.listdir(tokens), "no token shards written"
+
+    dyn_cfg = {
+        "model": {
+            "dynamics": {
+                "desc": [["space-time_attn", {
+                    "n_rep": 1, "n_embd": 16, "n_head": 2, "d_head": 8,
+                }]],
+                "embed_dim": 16,
+            },
+            "tok_vocab": 16,  # 2^d_codebook of the genie tokenizer
+            "act_vocab": 4,   # 2^d_codebook of the latent-action model
+        },
+        "data": {"source": "tokens", "root": tokens, "batch_size": 1,
+                 "num_workers": 1},
+        "trainer": {
+            "max_steps": 1, "precision": "32", "log_every_n_steps": 1,
+            "ckpt_dir": os.path.join(tmp, "dyn_ckpt"),
+            "ckpt_every_n_steps": 1,
+            "log_dir": os.path.join(tmp, "dyn_logs"), "n_data": 1,
+        },
+    }
+    dyn_yaml = os.path.join(tmp, "dynamics.yaml")
+    with open(dyn_yaml, "w") as f:
+        yaml.safe_dump(dyn_cfg, f)
+    cli.main(["train", "dynamics", "--config", dyn_yaml])
+    assert os.listdir(dyn_cfg["trainer"]["ckpt_dir"])
+
+    capsys.readouterr()
+    cli.main([
+        "eval", "dynamics", "--config", dyn_yaml,
+        "--ckpt", dyn_cfg["trainer"]["ckpt_dir"], "--max-batches", "1",
+        "--split", "train",
+    ])
+    line = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ][-1]
+    assert np.isfinite(json.loads(line)["loss"])
