@@ -389,7 +389,7 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         val_fn = _make_val_fn(module, _compute_dtype(tcfg.precision))
     save_config_snapshot(tcfg.ckpt_dir, cfg)
     return _run_loop(
-        state, step_fn, loader, tcfg, start_step,
+        state, step_fn, loader, tcfg, start_step, resume=resume,
         val_fn=val_fn, val_loader=val_loader,
     )
 
@@ -445,7 +445,7 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         )
     save_config_snapshot(tcfg.ckpt_dir, cfg)
     return _run_loop(
-        state, step_fn, loader, tcfg, start_step,
+        state, step_fn, loader, tcfg, start_step, resume=resume,
         val_fn=val_fn, val_loader=val_loader, eval_hook=eval_hook,
     )
 
@@ -500,7 +500,7 @@ def train_dynamics(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
             val_fn = _make_val_fn(module, _compute_dtype(tcfg.precision))
     save_config_snapshot(tcfg.ckpt_dir, cfg)
     return _run_loop(
-        state, step_fn, loader, tcfg, start_step,
+        state, step_fn, loader, tcfg, start_step, resume=resume,
         val_fn=val_fn, val_loader=val_loader,
     )
 
@@ -639,6 +639,7 @@ def _run_loop(
     loader,
     tcfg,
     start_step: int,
+    resume: bool = False,
     val_fn=None,
     val_loader=None,
     eval_hook=None,
@@ -661,10 +662,13 @@ def _run_loop(
     # blocking save would stall the step on disk I/O); drained in the
     # finally below so an exception mid-loop still commits staged saves.
     ckpt_writer = CheckpointWriter(tcfg.ckpt_dir)
-    if start_step == 0:
+    if not resume:
         # Fresh (non-resume) run claiming a reused ckpt_dir: stale steps
         # from an earlier run would outlive this one as `latest_step()`
-        # and restore foreign params at eval/serve time.
+        # and restore foreign params at eval/serve time.  Keyed on the
+        # resume FLAG, not `start_step == 0`: a legitimate resume can sit
+        # at step 0 (e.g. a checkpoint written by
+        # tools/import_reference_ckpt.py) and must not be purged.
         n_stale = ckpt_writer.purge()
         best_dir = os.path.join(tcfg.ckpt_dir, "best")
         if os.path.isdir(best_dir):

@@ -23,7 +23,7 @@ Weight-layout conversions (torch -> flax):
 Non-parameter buffers (binomial ``blur`` kernels, the LFQ ``bit_mask``)
 are constants recomputed by this framework and are skipped.  Keys that
 belong to training-time loss modules the flax *model* tree does not own
-(``gan_loss.…``, ``perc_loss.…``) are reported as skipped groups -- the
+(``gan_crit.…``, ``perc_crit.…``) are reported as skipped groups -- the
 discriminator/VGG state lives in the train-module tree here and migrating
 users restart adversarial training fresh (see PARITY.md on the perceptual
 loss position).
@@ -79,6 +79,22 @@ def _tconv_kernel(w: np.ndarray) -> np.ndarray:
 
 def _linear_kernel(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 0))
+
+
+def _pointwise_conv3d_kernel(w: np.ndarray) -> np.ndarray:
+    """torch 1x1 Conv1d/Conv2d weight (O, I, *ones) -> flax 1x1x1 Conv3d
+    kernel (1, 1, 1, I, O).
+
+    The reference's depth-to-space/time upsamplers run a pointwise Conv2d/
+    Conv1d per frame/pixel (`video.py:295-299,345-349`); this framework
+    expresses the same contraction as a 1x1x1 3-D conv (`modules/video.py`
+    `name="proj"`)."""
+    o, i = w.shape[:2]
+    if any(k != 1 for k in w.shape[2:]):
+        raise ImportError_(
+            f"pointwise conv expected all-ones kernel dims, got {w.shape}"
+        )
+    return w.reshape(o, i).T.reshape(1, 1, 1, i, o)
 
 
 def group_reference_keys(
@@ -192,6 +208,17 @@ def _residual_block(
 
     out: Dict[str, Any] = {}
 
+    def classify(prefix: str) -> str:
+        """Kind of the `main.{j}`/`res.{j}` submodule, from ALL its keys
+        (never from whichever key happens to come first -- .npz inputs
+        carry no registration-order guarantee)."""
+        subs = {k[len(prefix) + 1 :] for k in ref if k.startswith(prefix + ".")}
+        if any(s.startswith("go_down.") for s in subs):
+            return "down"
+        if "weight" in subs and ref[prefix + ".weight"].ndim == 1:
+            return "norm"
+        return "conv"
+
     # --- main branch ---
     norm_prefixes: List[str] = []
     conv_prefixes: List[str] = []
@@ -202,12 +229,12 @@ def _residual_block(
         if prefix in seen:
             continue
         seen.add(prefix)
-        sub = key[len(prefix) + 1 :]
-        if sub == "weight" and ref[key].ndim == 1:
+        kind = classify(prefix)
+        if kind == "norm":
             norm_prefixes.append(prefix)
-        elif sub.startswith("go_down."):
+        elif kind == "down":
             down_main = prefix + ".go_down"
-        else:  # conv3d.weight / weight (5-D)
+        else:
             conv_prefixes.append(prefix)
     want_norms = 2 if "norm1" in tmpl else 0  # use_norm=False has none
     if len(norm_prefixes) != want_norms or len(conv_prefixes) != 2:
@@ -236,8 +263,7 @@ def _residual_block(
         if prefix in seen:
             continue
         seen.add(prefix)
-        sub = key[len(prefix) + 1 :]
-        if sub.startswith("go_down."):
+        if classify(prefix) == "down":
             down_res = prefix + ".go_down"
         else:
             res_conv = prefix
@@ -286,6 +312,26 @@ def _convert_group(
     # (`/root/reference/genie/module/video.py:379-430`).
     if keys == {"conv"}:
         return {"conv": _conv_entry(ref, "go_up.0", tmpl["conv"], ctx)}
+    # SpaceTimeUpsample: ref `go_up` ConvTranspose3d (`video.py:449-455`).
+    # Unreachable from real reference checkpoints (its registry never
+    # exposes 'spacetime_upsample', `module/__init__.py:23-69`) but the
+    # mapping is kept -- verified directly against the reference module.
+    if keys == {"up"}:
+        out = {"kernel": _tconv_kernel(_take(ref, "go_up.weight", ctx))}
+        if "bias" in tmpl["up"]:
+            out["bias"] = _take(ref, "go_up.bias", ctx)
+        return {"up": out}
+    # DepthToSpace/DepthToTime upsample: ref `go_up.0` pointwise Conv2d/
+    # Conv1d (`video.py:295-299,345-349`); ours a 1x1x1 Conv3d `proj`.
+    if keys == {"proj"}:
+        out = {
+            "kernel": _pointwise_conv3d_kernel(
+                _take(ref, "go_up.0.weight", ctx)
+            )
+        }
+        if "bias" in tmpl["proj"]:
+            out["bias"] = _take(ref, "go_up.0.bias", ctx)
+        return {"proj": out}
     # LFQ: optional projections (`quantization.py:55-58`); ours uses the
     # same attribute names.
     if keys <= {"proj_inp", "proj_out"}:

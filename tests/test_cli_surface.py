@@ -68,14 +68,15 @@ def genie_yaml(tmp_path_factory):
     }
     path = tmp / "genie.yaml"
     path.write_text(yaml.safe_dump(cfg))
+    # Train once here so every test in the module (incl. the staged
+    # pipeline) can run standalone -- no inter-test ordering dependency.
+    cli.main(["train", "genie", "--config", str(path)])
     return str(path), str(tmp)
 
 
 def test_cli_train_generate_play_eval(genie_yaml, capsys):
     config, tmp = genie_yaml
     ckpt = os.path.join(tmp, "ckpt")
-
-    cli.main(["train", "genie", "--config", config])
     assert os.path.isdir(ckpt) and os.listdir(ckpt), "no checkpoint written"
 
     out_mp4 = os.path.join(tmp, "rollout.mp4")

@@ -120,7 +120,11 @@ SMALL_ENC = (
         "use_causal": False, "act_fn": "leaky", "num_groups": 4,
     }),
     ("spacetime_downsample", {
-        "in_channels": C, "kernel_size": 3, "time_factor": 1,
+        "in_channels": C, "kernel_size": 3, "time_factor": 2,
+        "space_factor": 2,
+    }),
+    ("spacetime_downsample", {
+        "in_channels": C, "kernel_size": 3, "time_factor": 2,
         "space_factor": 2,
     }),
     ("group_norm", {"num_groups": 4, "num_channels": C}),
@@ -134,6 +138,14 @@ SMALL_DEC = (
         "num_groups": 4, "num_channels": C, "dim_cond": C, "has_ext": True,
     }),
     ("silu", {}),
+    # time-strided transpose conv (spatially strided outputs differ by
+    # design: the reference skips its own intended h*H trim, `video.py:266-269`)
+    ("causal-conv3d-transpose", {
+        "in_channels": C, "out_channels": C, "kernel_size": 3,
+        "stride": (2, 1, 1),
+    }),
+    ("depth2space_upsample", {"in_channels": C, "factor": 2}),
+    ("depth2time_upsample", {"in_channels": C, "factor": 2}),
     ("depth2spacetime_upsample", {
         "in_channels": C, "kernel_size": 3, "time_factor": 1,
         "space_factor": 2,
@@ -175,7 +187,7 @@ def _assert_close(ours, theirs, tol, what):
 def small_pair():
     ref = _ref_tokenizer(SMALL_ENC, SMALL_DEC, d_codebook=4, n_codebook=1)
     ours = _our_tokenizer(SMALL_ENC, SMALL_DEC, d_codebook=4, n_codebook=1)
-    params, skipped = _import_params(ref, ours, (1, 4, 16, 16, 3))
+    params, skipped = _import_params(ref, ours, (1, 8, 16, 16, 3))
     return ref, ours, params, skipped
 
 
@@ -192,7 +204,7 @@ def test_small_import_consumes_everything(small_pair):
 def test_small_encode_quantize_decode_parity(small_pair):
     ref, ours, params, _ = small_pair
     rng = np.random.default_rng(3)
-    video = rng.standard_normal((1, 4, 16, 16, 3)).astype(np.float32)
+    video = rng.standard_normal((1, 8, 16, 16, 3)).astype(np.float32)
     tvideo = torch.from_numpy(np.transpose(video, (0, 4, 1, 2, 3)))
 
     with torch.no_grad():
@@ -261,7 +273,7 @@ def test_blur_downsample_residual_imports_structurally():
     ) + SMALL_ENC[3:]
     ref = _ref_tokenizer(enc, SMALL_DEC, d_codebook=4, n_codebook=1)
     ours = _our_tokenizer(enc, SMALL_DEC, d_codebook=4, n_codebook=1)
-    params, skipped = _import_params(ref, ours, (1, 4, 16, 16, 3))
+    params, skipped = _import_params(ref, ours, (1, 8, 16, 16, 3))
     assert any(k.endswith(".blur") for k in skipped)
     # conv1 precedes the blur slot, conv2 follows it; the pairing is by
     # index order, so the two convs must have ended up in distinct slots.
@@ -273,9 +285,26 @@ def test_blur_downsample_residual_imports_structurally():
     )
 
 
+def test_alphabetical_key_order_imports_identically(small_pair):
+    """.npz inputs carry no registration-order guarantee; classification
+    must not depend on 'weight' being seen before 'bias'."""
+    ref, ours, params, _ = small_pair
+    sd = {k: v.numpy() for k, v in sorted(ref.state_dict().items())}
+    x = jnp.zeros((1, 8, 16, 16, 3), jnp.float32)
+    template = jax.jit(lambda k: ours.init(k, x))(
+        jax.random.PRNGKey(0)
+    )["params"]
+    reordered, _ = convert_reference_state_dict(sd, template)
+    for (pa, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree.leaves(reordered),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(pa))
+
+
 def test_mismatched_blueprint_rejected(small_pair):
     ref, _, _, _ = small_pair
     bad_enc = SMALL_ENC[:1] + SMALL_ENC[2:]  # drop a layer
     ours = _our_tokenizer(bad_enc, SMALL_DEC, d_codebook=4, n_codebook=1)
     with pytest.raises(ImportError_):
-        _import_params(ref, ours, (1, 4, 16, 16, 3))
+        _import_params(ref, ours, (1, 8, 16, 16, 3))

@@ -276,3 +276,49 @@ def test_fresh_run_purges_stale_ckpt_steps(tmp_path):
     want = flax.traverse_util.flatten_dict(jax.device_get(state.params["model"]))
     for k in want:
         np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_resume_from_step0_checkpoint_is_not_purged(tmp_path):
+    """`--resume` against a checkpoint dir whose only step is 0 (what
+    `tools/import_reference_ckpt.py` writes) must restore and CONTINUE --
+    the stale-dir purge is keyed on the resume flag, not on
+    `start_step == 0` (which a legitimate imported checkpoint satisfies)."""
+    import os
+
+    from open_genie_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        save_checkpoint,
+    )
+    from open_genie_tpu.train.trainer import build_tokenizer_module
+
+    cfg = ExperimentConfig(
+        model=TokenizerModelConfig(
+            enc_desc=TOK_ENC, dec_desc=TOK_DEC, d_codebook=4,
+            gan_loss_weight=0.0, perc_loss_weight=0.0,
+        ),
+        data=_data_cfg(),
+        trainer=_trainer_cfg(tmp_path, "step0"),
+    )
+    # Fabricate an imported-style step-0 checkpoint with marker params.
+    module = build_tokenizer_module(cfg.model)
+    sample = jax.numpy.zeros((1, 4, 16, 16, 3), jax.numpy.float32)
+    state = create_train_state(
+        module, sample, jax.random.PRNGKey(0), make_optimizer()
+    )
+    marked = jax.tree.map(lambda x: x * 0 + 0.125, state.params)
+    save_checkpoint(
+        cfg.trainer.ckpt_dir, state.replace(params=marked), step=0
+    )
+
+    out = train_tokenizer(cfg, resume=True)  # max_steps=1
+    steps = sorted(int(n) for n in os.listdir(cfg.trainer.ckpt_dir)
+                   if n.isdigit())
+    assert steps == [0, 1], f"imported step-0 checkpoint purged: {steps}"
+    # The trained step must have started FROM the marker params (one SGD
+    # step away, not a fresh random init): any conv bias moved off 0.125
+    # by less than the marker-vs-random gap.
+    bias = jax.device_get(
+        out.params["model"]["enc_layers_1"]["conv3d"]["bias"]
+    )
+    assert np.max(np.abs(bias - 0.125)) < 0.05

@@ -14,7 +14,7 @@ keys.  The YAML config must describe the same blueprint the checkpoint
 was trained with (reference configs load verbatim, so point at the very
 YAML the reference run used).
 
-Loss-module state (``gan_loss.…``/``perc_loss.…``) is not migrated -- the
+Loss-module state (``gan_crit.…``/``perc_crit.…``) is not migrated -- the
 discriminator restarts fresh if training continues (see PARITY.md).  The
 mapping itself lives in ``open_genie_tpu/utils/torch_import.py``.
 """
@@ -36,10 +36,61 @@ def load_reference_state_dict(path: str) -> dict:
             return {k: z[k] for k in z.files}
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # Real Lightning .ckpt files carry non-tensor metadata --
+        # `hyper_parameters` is a lightning AttributeDict, the raw
+        # `optimizer` init arg a functools.partial -- that the weights-only
+        # unpickler rejects, and lightning itself is not importable here,
+        # so a plain weights_only=False load ALSO dies resolving those
+        # classes.  Only the tensors under 'state_dict' matter: unpickle
+        # with unknown classes stubbed out.
+        print(
+            "# weights-only load failed (Lightning metadata in the "
+            "checkpoint); retrying with unknown classes stubbed -- only "
+            "do this with checkpoint files you trust"
+        )
+        obj = torch.load(
+            path, map_location="cpu", weights_only=False,
+            pickle_module=_tolerant_pickle(),
+        )
     if isinstance(obj, dict) and "state_dict" in obj:  # Lightning .ckpt
         obj = obj["state_dict"]
     return {k: np.asarray(v) for k, v in obj.items()}
+
+
+def _tolerant_pickle():
+    """A pickle-module shim whose Unpickler stubs unresolvable classes.
+
+    Checkpoint metadata objects (hyper-parameter containers, optimizer
+    partials) become inert dict-like placeholders instead of raising
+    ImportError/AttributeError; the tensor payload is unaffected."""
+    import pickle
+    import types
+
+    class _Opaque(dict):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def __setstate__(self, state):
+            return None
+
+        def __call__(self, *a, **k):
+            return self
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return type(name, (_Opaque,), {})
+
+    shim = types.ModuleType("tolerant_pickle")
+    shim.Unpickler = _Unpickler
+    shim.load = lambda f, **kw: _Unpickler(f, **kw).load()
+    shim.loads = lambda b, **kw: _Unpickler(__import__("io").BytesIO(b), **kw).load()
+    return shim
 
 
 def main() -> int:
@@ -63,7 +114,8 @@ def main() -> int:
         make_optimizer,
         save_checkpoint,
     )
-    from open_genie_tpu.train.trainer import build_tokenizer_module
+    from open_genie_tpu.train.losses import frozen_param_mask
+    from open_genie_tpu.train.trainer import _opt_kwargs, build_tokenizer_module
     from open_genie_tpu.utils.torch_import import convert_reference_state_dict
 
     cfg = load_config(args.config, kind="tokenizer")
@@ -73,7 +125,19 @@ def main() -> int:
         jnp.float32,
     )
     key = jax.random.PRNGKey(cfg.trainer.seed)
+    # Build the optimizer EXACTLY as `train_tokenizer` does (config kwargs
+    # + the perc-VGG freeze mask) so the saved opt_state tree matches what
+    # `train tokenizer --resume` restores into.
     state = create_train_state(module, sample, key, make_optimizer())
+    if cfg.model.perc_loss_weight > 0:
+        mask = frozen_param_mask(state.params, ("perc_crit",))
+        optimizer = make_optimizer(
+            **_opt_kwargs(cfg.model.optimizer), frozen_mask=mask
+        )
+        state = state.replace(opt_state=optimizer.init(state.params))
+    else:
+        optimizer = make_optimizer(**_opt_kwargs(cfg.model.optimizer))
+        state = state.replace(opt_state=optimizer.init(state.params))
 
     sd = load_reference_state_dict(args.ckpt)
     params = flax.core.unfreeze(state.params)
