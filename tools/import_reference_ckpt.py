@@ -102,6 +102,12 @@ def main() -> int:
         "--step", type=int, default=0,
         help="step number recorded in the imported checkpoint",
     )
+    ap.add_argument(
+        "--verify", metavar="REFERENCE_REPO", default=None,
+        help="path to an open-genie checkout: after importing, run ITS "
+        "VideoTokenizer on the checkpoint and assert encode parity "
+        "against the imported params (catches silent weight corruption)",
+    )
     args = ap.parse_args()
 
     import flax
@@ -156,7 +162,96 @@ def main() -> int:
     )
     save_checkpoint(args.out, state, step=args.step)
     print(f"# wrote orbax checkpoint step {args.step} to {args.out}")
+
+    if args.verify:
+        diff = _verify_against_reference(
+            args.verify, cfg, sd, state.params["model"]
+        )
+        print(f"# verify: reference-vs-imported encode max |diff| = {diff:.2e}")
+        if diff > 1e-2:
+            raise SystemExit(
+                "verify FAILED: imported params do not reproduce the "
+                "reference encode (diff above shows silent corruption)"
+            )
     return 0
+
+
+def _verify_against_reference(ref_path, cfg, state_dict, model_params):
+    """Run the reference VideoTokenizer on the same weights and compare
+    `encode` outputs against the imported flax params on a random video."""
+    import copy
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+
+    sys.path.insert(0, ref_path)
+    # The reference package pulls torchvision + lightning at import time;
+    # stub them when absent (same technique as tools/gen_golden_fixtures).
+    if "torchvision" not in sys.modules:
+        try:
+            import torchvision  # noqa: F401
+        except ImportError:
+            tv = types.ModuleType("torchvision")
+            tv.models = types.ModuleType("torchvision.models")
+            tv.models.get_model = lambda *a, **k: None
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.models"] = tv.models
+    if "lightning" not in sys.modules:
+        try:
+            import lightning  # noqa: F401
+        except ImportError:
+            class _LM(torch.nn.Module):
+                def save_hyperparameters(self, *a, **k):
+                    pass
+
+            lt = types.ModuleType("lightning")
+            lt.LightningModule = _LM
+            pt = types.ModuleType("lightning.pytorch")
+            cb = types.ModuleType("lightning.pytorch.callbacks")
+            cb.Callback = object
+            pt.callbacks = cb
+            lt.pytorch = pt
+            sys.modules.update({
+                "lightning": lt, "lightning.pytorch": pt,
+                "lightning.pytorch.callbacks": cb,
+            })
+
+    from genie.tokenizer import VideoTokenizer as RefTok
+
+    from open_genie_tpu.models.tokenizer import VideoTokenizer
+
+    mcfg = cfg.model
+    ref = RefTok(
+        enc_desc=copy.deepcopy(tuple(mcfg.enc_desc)),
+        dec_desc=copy.deepcopy(tuple(mcfg.dec_desc)),
+        d_codebook=mcfg.d_codebook, n_codebook=mcfg.n_codebook,
+        perc_loss_weight=0.0, gan_loss_weight=0.0,
+    )
+    ref.load_state_dict(
+        {k: torch.as_tensor(np.asarray(v)) for k, v in state_dict.items()},
+        strict=False,  # buffers (blur/bit_mask) may be absent in .npz input
+    )
+    ref.eval()
+
+    rng = np.random.default_rng(0)
+    video = rng.standard_normal(
+        (1, min(cfg.data.num_frames, 8), cfg.data.height, cfg.data.width, 3)
+    ).astype(np.float32)
+    with torch.no_grad():
+        ref_enc = ref.encode(
+            torch.from_numpy(np.transpose(video, (0, 4, 1, 2, 3)))
+        ).numpy()
+
+    ours = VideoTokenizer(**mcfg.tokenizer_kwargs())
+    our_enc = jax.jit(
+        lambda p, x: ours.apply({"params": p}, x, method=ours.encode)
+    )(model_params, jnp.asarray(video))
+    return float(np.max(np.abs(
+        np.asarray(our_enc) - np.transpose(ref_enc, (0, 2, 3, 4, 1))
+    )))
 
 
 if __name__ == "__main__":
