@@ -301,6 +301,7 @@ def main():
         return total
 
     pos1 = jnp.asarray(1, jnp.int32)
+    only = sys.argv[1:]  # optional name-prefix filters, e.g. `V5`
     for name, fn, args, steps, n_commit, pallas in (
         ("V0 static", v0, (params, cache), N_STEPS, 0, False),
         ("V2 +dyn pos", v2, (params, cache, schedule, pos1), N_STEPS, 0, False),
@@ -319,6 +320,8 @@ def main():
         ("V5FA fuse-attn", v5, (params, cache), N_STEPS + NF, NF,
          "fuse-attn"),
     ):
+        if only and not any(name.split()[0].startswith(p) for p in only):
+            continue
         if pallas:
             os.environ["OGT_PALLAS_DECODE"] = pallas
         try:
