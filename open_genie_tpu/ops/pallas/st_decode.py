@@ -617,8 +617,15 @@ def mode() -> Optional[str]:
       attn      : spatial + temporal kernels, FFN on XLA
       fuse      : merged spatial+temporal kernel + FFN kernel
       fuse-attn : merged spatial+temporal kernel, FFN on XLA
-    Defaults OFF until the on-chip A/B in PARITY.md shows a win for the
-    running config. Returns the mode name or None (off)."""
+    Defaults OFF: the on-chip A/B (v5e, flagship 6-block/512-wide config,
+    `tools/scratch_refine_ab.py V5`) measured every mode 0.4-4% SLOWER
+    than the optimized XLA decode path (0.484 ms/refine-step XLA vs
+    0.486/0.489/0.497/0.504 for fuse-attn/fuse/attn/full) -- the round-3
+    XLA-side work (read-only refine, FFN time-tap split, fused QKV, flat
+    frame x refine scan) already removed the per-op dispatch latency these
+    kernels were written to hide. Kept as a parity-pinned opt-in for
+    configs where XLA scheduling regresses. Returns the mode name or
+    None (off)."""
     import os
     import warnings
 
