@@ -454,6 +454,11 @@ def main():
         canonical = args.section != "rollout" or (
             args.frames == 16 and args.steps_per_frame == 25
         )
+        # Kernel-mode experiments (OGT_PALLAS_DECODE) run a different
+        # program than the default path; their numbers must not shadow
+        # the canonical saved entry either way.
+        if os.environ.get("OGT_PALLAS_DECODE"):
+            canonical = False
         if not args.quick and canonical:
             _save_result(args.section, result)
         return

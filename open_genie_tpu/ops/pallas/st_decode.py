@@ -75,7 +75,11 @@ def _spatial_math(x, cos, sin, lns, lnb, wqkv, wo, heads, d_head, scale):
         xn.astype(wdt), wqkv, preferred_element_type=jnp.float32
     )                                                     # (N, 3C)
     c = heads * d_head
-    attn_out = jnp.zeros_like(x)
+    # Per-head results are CONCATENATED, not scattered into a zeros
+    # buffer: Mosaic(TC) has no scatter lowering, so `.at[:, sl].set`
+    # fails to compile on real chips (caught by the round-3 on-chip A/B;
+    # interpret-mode CPU tests can't see it).
+    per_head = []
     for h in range(heads):
         q = qkv[:, h * d_head : (h + 1) * d_head]
         k = qkv[:, c + h * d_head : c + (h + 1) * d_head]
@@ -89,7 +93,10 @@ def _spatial_math(x, cos, sin, lns, lnb, wqkv, wo, heads, d_head, scale):
             probs.astype(wdt), v.astype(wdt),
             preferred_element_type=jnp.float32,
         )
-        attn_out = attn_out.at[:, h * d_head : (h + 1) * d_head].set(oh)
+        per_head.append(oh)
+    attn_out = (
+        per_head[0] if heads == 1 else jnp.concatenate(per_head, axis=-1)
+    )
     out = jnp.dot(
         attn_out.astype(wdt), wo, preferred_element_type=jnp.float32
     )
