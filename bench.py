@@ -454,6 +454,14 @@ def main():
         canonical = args.section != "rollout" or (
             args.frames == 16 and args.steps_per_frame == 25
         )
+        # tokenizer_train at non-default shapes (the b4f8 bonus, or ad-hoc
+        # sweeps) must not overwrite the mandatory b2f4 backstop from the
+        # child: the orchestrator saves a bonus result itself, and only
+        # when it beats the live mandatory number.
+        if args.section == "tokenizer_train" and (
+            args.train_batch, args.train_frames
+        ) != (2, 4):
+            canonical = False
         # Kernel-mode experiments (OGT_PALLAS_DECODE) run a different
         # program than the default path; their numbers must not shadow
         # the canonical saved entry either way.

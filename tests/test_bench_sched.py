@@ -249,3 +249,37 @@ def test_section_run_persists_canonical_result(harness, monkeypatch):
     bench.main()
     saved = json.load(open(bench._RESULTS_FILE))
     assert saved["rollout"]["result"]["rollout_fps"] == 58.0
+
+
+def test_section_train_bonus_shapes_do_not_overwrite_backstop(
+    harness, monkeypatch
+):
+    """A child `--section tokenizer_train` at non-default shapes (the b4f8
+    bonus) must not overwrite the mandatory b2f4 backstop — the
+    orchestrator saves a bonus result itself, only when it wins."""
+    monkeypatch.setitem(
+        bench.SECTIONS,
+        "tokenizer_train",
+        lambda a: {"tokenizer_train_fps": 55.0},
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["bench.py", "--section", "tokenizer_train"]
+    )
+    bench.main()
+    saved = json.load(open(bench._RESULTS_FILE))
+    assert saved["tokenizer_train"]["result"]["tokenizer_train_fps"] == 55.0
+
+    monkeypatch.setitem(
+        bench.SECTIONS,
+        "tokenizer_train",
+        lambda a: {"tokenizer_train_fps": 40.0},  # b4f8 run that did WORSE
+    )
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["bench.py", "--section", "tokenizer_train",
+         "--train-batch", "4", "--train-frames", "8"],
+    )
+    bench.main()
+    saved = json.load(open(bench._RESULTS_FILE))
+    assert saved["tokenizer_train"]["result"]["tokenizer_train_fps"] == 55.0
