@@ -84,6 +84,42 @@ def _genie_cfg():
     )
 
 
+def _serve_cfg():
+    """Serving-grade FLAGSHIP config: the full MAGVIT2 d=18 encoder with
+    the `magvit2_stream` decoder (identical topology, per-frame causal
+    GroupNorm statistics -- `models/blueprints.py`), so the interactive
+    session takes the exact streaming decode path (O(1) work per frame,
+    no sliding-window re-decode), plus the 512-wide 6-block dynamics
+    trunk over the 8x8 token grid with the 2^18-token vocabulary. The
+    latent-action model is not exercised by serving (actions are user
+    ints) and is kept minimal so section startup stays inside the cap."""
+    from open_genie_tpu.models.blueprints import (
+        MAGVIT2_ENC_DESC,
+        MAGVIT2_STREAM_DEC_DESC,
+    )
+
+    return dict(
+        tokenizer=dict(
+            enc_desc=MAGVIT2_ENC_DESC,
+            dec_desc=MAGVIT2_STREAM_DEC_DESC,
+            d_codebook=18,
+        ),
+        latent_action=dict(
+            enc_desc=(("space-time_attn", {"n_rep": 1, "n_embd": 64,
+                                           "n_head": 2, "d_head": 32}),),
+            dec_desc=(("space-time_attn", {"n_rep": 1, "n_embd": 64,
+                                           "n_head": 2, "d_head": 32}),),
+            d_codebook=8,
+            n_embd=64,
+            inp_shape=(64, 64),
+        ),
+        dynamics=dict(
+            desc=(("space-time_attn", {"n_rep": 6, "n_embd": 512, "n_head": 8, "d_head": 64}),),
+            embed_dim=512,
+        ),
+    )
+
+
 def _sync(x) -> float:
     """Hard host sync: on remote-tunneled devices `block_until_ready` can
     return before execution completes; a full host transfer cannot."""
@@ -207,9 +243,11 @@ def section_tokenizer(repeats: int) -> dict:
 
 def section_serve(steps: int = 24) -> dict:
     """Interactive serving latency: ms/frame p50+p95 of a live
-    action->frame session (token generation + sliding-window pixel
-    decode, single stream) after warmup. The `InteractiveSession.step`
-    path is the product surface of the framework."""
+    action->frame session on the serving-grade FLAGSHIP model (full
+    MAGVIT2 d=18 encoder + `magvit2_stream` decoder + 512-wide dynamics;
+    token generation and exact streaming pixel decode fused in ONE device
+    dispatch per frame). The `InteractiveSession.step` path is the product
+    surface of the framework."""
     import statistics
 
     import jax
@@ -219,7 +257,7 @@ def section_serve(steps: int = 24) -> dict:
     from open_genie_tpu.models.genie import Genie
     from open_genie_tpu.serve import InteractiveSession
 
-    model = Genie(**_genie_cfg())
+    model = Genie(**_serve_cfg())
     key = jax.random.PRNGKey(0)
     video = jnp.zeros((1, 4, 64, 64, 3), jnp.float32)
     params = jax.jit(
@@ -230,7 +268,8 @@ def section_serve(steps: int = 24) -> dict:
     sess = InteractiveSession(
         model, {"params": params}, max_frames=steps + 4, steps_per_frame=8
     )
-    prompt = np.zeros((1, 1, 64, 64, 3), np.float32)
+    assert sess.stream, "flagship serve config must take the streaming path"
+    prompt = np.zeros((1, 4, 64, 64, 3), np.float32)
     sess.reset(prompt, seed=0)
     sess.step(0)  # compile/warm the step + decode programs
     lat = []
@@ -285,7 +324,10 @@ def section_tokenizer_train(repeats: int, batch: int, frames: int) -> dict:
         state, metrics = step(state, sample)
         _sync(metrics["grad_norm"])
         times.append(time.perf_counter() - t0)
-    return {"tokenizer_train_fps": batch * frames / min(times)}
+    return {
+        "tokenizer_train_fps": batch * frames / min(times),
+        "train_shape": f"b{batch}f{frames}",
+    }
 
 
 SECTIONS = {
@@ -409,6 +451,25 @@ def _save_result(section: str, result: dict) -> None:
     os.replace(tmp, _RESULTS_FILE)
 
 
+def _canonical_shapes(section: str, args) -> bool:
+    """True when `section` ran at its canonical saved-backstop shapes.
+
+    Used by BOTH the child `--section` path and the orchestrator before
+    every `_save_result`: a run started with non-default shapes (ad-hoc
+    sweeps, `--train-batch 2`, `--frames 8`) must never overwrite the
+    canonical saved entries that backstop the driver's end-of-round bench.
+    Kernel-mode experiments (OGT_PALLAS_DECODE) run a different program
+    than the default path and are never canonical.
+    """
+    if os.environ.get("OGT_PALLAS_DECODE"):
+        return False
+    if section == "rollout":
+        return args.frames == 16 and args.steps_per_frame == 25
+    if section == "tokenizer_train":
+        return (args.train_batch, args.train_frames) == (4, 8)
+    return True
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -430,14 +491,15 @@ def main():
         args.frames = min(args.frames, 2)
         args.steps_per_frame = min(args.steps_per_frame, 4)
     if args.train_batch is None:
-        args.train_batch = 2
+        args.train_batch = 4
     if args.train_frames is None:
-        # batch2/frames4 is the largest train-step program the remote
-        # compile helper reliably accepts (bigger programs 500 it; see
-        # CLAUDE.md); the orchestrator upsizes to batch4/frames8 -- which
-        # remat makes fit HBM and runs ~40% faster per frame -- only as a
-        # bonus attempt when budget remains after all sections report.
-        args.train_frames = 4
+        # batch4/frames8 is the MANDATORY train-step shape (round-4
+        # promotion: it is ~40% faster per frame and the number a reader
+        # should see). Its compile is occasionally rejected by the remote
+        # compile helper (CLAUDE.md), so the orchestrator falls back to
+        # batch2/frames4 -- a reliably-compiling program -- when the b4f8
+        # attempt fails, labeling the result shape either way.
+        args.train_frames = 8
 
     if args.section:
         os.environ.update(
@@ -449,25 +511,10 @@ def main():
         # `python bench.py --section X` (e.g. re-measuring after an
         # optimization) must refresh the same-round fallback, not just
         # print -- round 3 lost a fresh rollout number because only the
-        # orchestrator saved.  Guard rollout on the canonical shapes so
-        # a --frames/--spf experiment can't poison the saved entry.
-        canonical = args.section != "rollout" or (
-            args.frames == 16 and args.steps_per_frame == 25
-        )
-        # tokenizer_train at non-default shapes (the b4f8 bonus, or ad-hoc
-        # sweeps) must not overwrite the mandatory b2f4 backstop from the
-        # child: the orchestrator saves a bonus result itself, and only
-        # when it beats the live mandatory number.
-        if args.section == "tokenizer_train" and (
-            args.train_batch, args.train_frames
-        ) != (2, 4):
-            canonical = False
-        # Kernel-mode experiments (OGT_PALLAS_DECODE) run a different
-        # program than the default path; their numbers must not shadow
-        # the canonical saved entry either way.
-        if os.environ.get("OGT_PALLAS_DECODE"):
-            canonical = False
-        if not args.quick and canonical:
+        # orchestrator saved.  Canonical-shape guard (shared with the
+        # orchestrator paths) so a --frames/--spf experiment can't poison
+        # the saved entry.
+        if not args.quick and _canonical_shapes(args.section, args):
             _save_result(args.section, result)
         return
 
@@ -536,7 +583,7 @@ def main():
             if r:
                 results.update(r)
                 live.add(section)
-                if not args.quick:
+                if not args.quick and _canonical_shapes(section, args):
                     _save_result(section, r)
 
         # Retry pass: fast failures (transient tunnel errors) get one
@@ -563,31 +610,34 @@ def main():
             if r:
                 results.update(r)
                 live.add(section)
-                if not args.quick:
+                if not args.quick and _canonical_shapes(section, args):
                     _save_result(section, r)
 
-        # Bonus: the batch4/frames8 train step is ~40% faster per frame but
-        # its compile is at the mercy of the remote compile helper; attempt
-        # it only once every mandatory section has reported and >500s of
-        # budget remain, keeping the better number.
-        if "tokenizer_train" in live and not args.quick \
-                and (args.train_batch, args.train_frames) != (4, 8) \
-                and time.monotonic() < deadline - 520:
-            big = list(passthru)
-            big[big.index("--train-batch") + 1] = "4"
-            big[big.index("--train-frames") + 1] = "8"
-            print("# bonus tokenizer_train attempt at batch4/frames8")
-            # Tight cap: when the remote compile helper rejects the big
-            # program it tends to HANG rather than fail fast; never spend
-            # more than 300s of the driver's budget on a nice-to-have.
-            r, _, _ = _run_child("tokenizer_train", deadline, 300.0, big)
-            if r and r.get("tokenizer_train_fps", 0) > results["tokenizer_train_fps"]:
+        # Fallback: the mandatory train shape is batch4/frames8; when its
+        # compile is rejected by the remote compile helper (it tends to
+        # HANG rather than fail fast -- hence the tight cap), a
+        # batch2/frames4 program compiles reliably and still gives the
+        # round a LIVE train number, labeled with its shape. Saved under
+        # its own key so it can never shadow a canonical b4f8 backstop.
+        if "tokenizer_train" not in live and not args.quick \
+                and (args.train_batch, args.train_frames) == (4, 8) \
+                and time.monotonic() < deadline - 320:
+            small = list(passthru)
+            small[small.index("--train-batch") + 1] = "2"
+            small[small.index("--train-frames") + 1] = "4"
+            print("# fallback tokenizer_train attempt at batch2/frames4")
+            r, _, _ = _run_child("tokenizer_train", deadline, 300.0, small)
+            if r:
                 results.update(r)
-                _save_result("tokenizer_train", r)
+                live.add("tokenizer_train")
+                _save_result("tokenizer_train_b2f4", r)
 
     # Fold saved same-round numbers in for sections with no live result.
+    # Sorted keys: canonical entries fold before shape-fallback ones
+    # ("tokenizer_train" < "tokenizer_train_b2f4"), and fold only fills
+    # keys absent from the live results.
     cached_sections: dict = {}
-    for section, rec in saved.items():
+    for section, rec in sorted(saved.items()):
         if section in live:
             continue
         fold = {k: v for k, v in rec["result"].items() if k not in results}
@@ -614,6 +664,7 @@ def main():
         "extra": {
             "tokenizer_roundtrip_fps": round(tok_fps, 2) if tok_fps else None,
             "tokenizer_train_fps": round(train_fps, 2) if train_fps else None,
+            "tokenizer_train_shape": results.get("train_shape"),
             "serve_ms_p50": round(results["serve_ms_p50"], 1)
                 if results.get("serve_ms_p50") else None,
             "serve_ms_p95": round(results["serve_ms_p95"], 1)

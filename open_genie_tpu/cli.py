@@ -380,15 +380,18 @@ def _make_data(args):
     from open_genie_tpu.data.video import SyntheticVideo, write_mp4
 
     if args.source == "gym":
-        # Reference `sample.py` path: procgen envs under a random policy.
-        # Gated: procgen/gym are not bundled in every environment.
+        # Reference `sample.py` path: gym envs under a random policy.
+        # Gated: neither gym nor gymnasium is bundled in every environment.
         try:
             import gym  # noqa: F401
-        except ImportError as e:
-            raise SystemExit(
-                "--source gym requires the gym+procgen packages "
-                f"(unavailable: {e}); use --source synthetic instead"
-            )
+        except ImportError:
+            try:
+                import gymnasium  # noqa: F401
+            except ImportError as e:
+                raise SystemExit(
+                    "--source gym requires the gym (or gymnasium) package "
+                    f"(unavailable: {e}); use --source synthetic instead"
+                )
         _make_data_gym(args)
         return
 
@@ -407,32 +410,73 @@ def _make_data(args):
 
 
 def _make_data_gym(args):
-    """Procgen rollouts under a random policy -> mp4 (reference
-    `sample.py:27-53` semantics: hard mode, one level per seed)."""
-    import gym
+    """Gym-environment rollouts under a random policy -> mp4.
+
+    Env resolution:
+      * a bare name without a `-vN` suffix (`Coinrun`, ...) takes the
+        reference `sample.py:27-53` procgen path verbatim: hard mode, one
+        level per seed, the observation IS the frame;
+      * a registered env id (`CartPole-v1`, ...) runs under gym OR
+        gymnasium with `rgb_array` rendering -- the same random-policy
+        rollout against any real environment available in the install
+        (procgen itself predates gymnasium and is rarely installable).
+    Both the legacy gym 4-tuple and the gymnasium 5-tuple step APIs are
+    handled; frames are resized to `--size`.
+    """
+    try:
+        import gym
+    except ImportError:
+        import gymnasium as gym
     import numpy as np
 
-    from open_genie_tpu.data.video import write_mp4
+    from open_genie_tpu.data.video import HAS_CV2, write_mp4
+
+    is_procgen = "-v" not in args.env_name
+
+    def _resize(frame):
+        if frame.shape[0] == args.size and frame.shape[1] == args.size:
+            return frame
+        assert HAS_CV2, "resizing gym frames requires OpenCV"
+        import cv2
+
+        return cv2.resize(
+            frame, (args.size, args.size), interpolation=cv2.INTER_AREA
+        )
 
     for seed in range(args.num_videos):
-        env = gym.make(
-            f"procgen:procgen-{args.env_name.lower()}-v0",
-            distribution_mode="hard",
-            render_mode="rgb_array",
-            start_level=seed,
-            num_levels=1,
-            use_sequential_levels=True,
-        )
-        frames = [env.reset()]
-        frames.extend(
-            env.step(env.action_space.sample())[0]
-            for _ in range(args.timeout - 1)
-        )
+        if is_procgen:
+            env = gym.make(
+                f"procgen:procgen-{args.env_name.lower()}-v0",
+                distribution_mode="hard",
+                render_mode="rgb_array",
+                start_level=seed,
+                num_levels=1,
+                use_sequential_levels=True,
+            )
+            out = env.reset()
+            frames = [out[0] if isinstance(out, tuple) else out]
+            for _ in range(args.timeout - 1):
+                frames.append(env.step(env.action_space.sample())[0])
+        else:
+            env = gym.make(args.env_name, render_mode="rgb_array")
+            env.reset(seed=seed)
+            frames = [env.render()]
+            for _ in range(args.timeout - 1):
+                step_out = env.step(env.action_space.sample())
+                done = (
+                    step_out[2]
+                    if len(step_out) == 4
+                    else bool(step_out[2]) or bool(step_out[3])
+                )
+                frames.append(env.render())
+                if done:
+                    env.reset(seed=seed * 100003 + len(frames))
         env.close()
         out_dir = os.path.join(args.root, args.env_name, "train")
         os.makedirs(out_dir, exist_ok=True)
-        video = np.stack(frames).astype(np.float32) / 255.0
-        write_mp4(os.path.join(out_dir, f"{seed:04d}.mp4"), video)
+        video = np.stack([_resize(np.asarray(f)) for f in frames])
+        write_mp4(os.path.join(out_dir, f"{seed:04d}.mp4"),
+                  video.astype(np.float32) / 255.0)
     print(f"wrote {args.num_videos} gym rollouts to {out_dir}")
 
 

@@ -73,6 +73,77 @@ MAGVIT2_DEC_DESC: Blueprint = (
     ("causal-conv3d", {"in_channels": 128, "out_channels": 3, "kernel_size": 3}),
 )
 
+# Serving-grade flagship decoder: identical topology/widths to
+# MAGVIT2_DEC_DESC (same convs, same adaptive conditioning on the quant
+# latents) but strictly TIME-CAUSAL, so `VideoTokenizer.stream_decodable()`
+# holds and interactive serving decodes each new frame in O(1) work
+# (`decode_stream`) instead of re-decoding a sliding pixel window:
+#   * residual blocks use causal convs + per-frame GroupNorm statistics,
+#   * adaptive/plain GroupNorms compute per-frame statistics, with the
+#     adaptive affine read from the CURRENT token frame's latents only.
+# The reference has no serving path at all (its Genie class is
+# non-functional, `/root/reference/genie/genie.py:39-58`); the stock
+# time-pooled-GN decoder (`tokenizer.py:87-173`) is kept above for parity.
+MAGVIT2_STREAM_DEC_DESC: Blueprint = (
+    ("causal-conv3d", {"in_channels": 18, "out_channels": 512, "kernel_size": 3}),
+    ("video-residual", {
+        "n_rep": 4, "in_channels": 512, "use_causal": True,
+        "per_frame_norm": True,
+    }),
+    ("adaptive_group_norm", {
+        "dim_cond": 18, "num_groups": 8, "num_channels": 512,
+        "has_ext": True, "per_frame": True,
+    }),
+    ("video-residual", {
+        "n_rep": 4, "in_channels": 512, "use_causal": True,
+        "per_frame_norm": True,
+    }),
+    ("depth2spacetime_upsample", {
+        "in_channels": 512, "kernel_size": 3, "time_factor": 2, "space_factor": 2,
+    }),
+    ("adaptive_group_norm", {
+        "dim_cond": 18, "num_groups": 8, "num_channels": 512,
+        "has_ext": True, "per_frame": True,
+    }),
+    ("video-residual", {
+        "in_channels": 512, "out_channels": 256, "use_causal": True,
+        "per_frame_norm": True,
+    }),
+    ("video-residual", {
+        "n_rep": 3, "in_channels": 256, "use_causal": True,
+        "per_frame_norm": True,
+    }),
+    ("depth2spacetime_upsample", {
+        "in_channels": 256, "kernel_size": 3, "time_factor": 2, "space_factor": 2,
+    }),
+    ("adaptive_group_norm", {
+        "dim_cond": 18, "num_groups": 8, "num_channels": 256,
+        "has_ext": True, "per_frame": True,
+    }),
+    ("video-residual", {
+        "n_rep": 4, "in_channels": 256, "use_causal": True,
+        "per_frame_norm": True,
+    }),
+    ("depth2spacetime_upsample", {
+        "in_channels": 256, "kernel_size": 3, "time_factor": 1, "space_factor": 2,
+    }),
+    ("adaptive_group_norm", {
+        "dim_cond": 18, "num_groups": 8, "num_channels": 256,
+        "has_ext": True, "per_frame": True,
+    }),
+    ("video-residual", {
+        "in_channels": 256, "out_channels": 128, "use_causal": True,
+        "per_frame_norm": True,
+    }),
+    ("video-residual", {
+        "n_rep": 3, "in_channels": 128, "use_causal": True,
+        "per_frame_norm": True,
+    }),
+    ("group_norm", {"num_groups": 8, "num_channels": 128, "per_frame": True}),
+    ("silu", {}),
+    ("causal-conv3d", {"in_channels": 128, "out_channels": 3, "kernel_size": 3}),
+)
+
 REPR_TOK_ENC: Blueprint = (
     ("spacetime_downsample", {
         "in_channels": 3, "kernel_size": 3, "out_channels": 512,
@@ -127,6 +198,10 @@ def get_enc(name: str) -> Blueprint:
 
 def get_dec(name: str) -> Blueprint:
     try:
-        return {"magvit2": MAGVIT2_DEC_DESC, "repr_tok": REPR_TOK_DEC}[name]
+        return {
+            "magvit2": MAGVIT2_DEC_DESC,
+            "magvit2_stream": MAGVIT2_STREAM_DEC_DESC,
+            "repr_tok": REPR_TOK_DEC,
+        }[name]
     except KeyError:
         raise ValueError(f"Unknown decoder: {name}")

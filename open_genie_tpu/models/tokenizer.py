@@ -216,21 +216,29 @@ class VideoTokenizer(nn.Module):
         frame in O(1) work with EXACT equality to the batch decode:
           * `causal-conv3d` (time stride 1, constant pad) -- carries its
             causal left-pad window;
+          * `video-residual` (`use_causal` + `per_frame_norm`, no
+            downsample) -- carries its two main-branch conv windows;
           * `space-time_attn` (single-conv FFN) -- carries temporal KV +
             FFN windows (the dynamics decode machinery);
           * `depth2spacetime_upsample` -- carries its conv window;
-          * `depth2space_upsample` -- per-frame, stateless.
+          * `depth2space_upsample` -- per-frame, stateless;
+          * `group_norm` / `adaptive_group_norm` with `per_frame=True`
+            (frame-local statistics; the adaptive layer's quant-latent
+            conditioning is per-frame too, so `has_ext` is allowed);
+          * parameter-free activations.
         Attention layers must sit before any `time_factor > 1` upsample
-        (single-position KV decode), and no layer may take external
-        conditioning. Stacks with time-pooled GroupNorm (the stock MAGVIT2
-        decoder) are NOT streamable -- serving falls back to sliding-window
-        decode for those.
+        (single-position KV decode). Stacks with time-pooled GroupNorm
+        (the STOCK MAGVIT2 decoder) are NOT streamable -- serving falls
+        back to sliding-window decode for those; `magvit2_stream`
+        (`models/blueprints.py`) is the serving-grade flagship variant.
         """
-        if any(
-            (not isinstance(d, str)) and d[1].get("has_ext")
-            for d in self.dec_desc
-        ):
-            return False
+        for d in self.dec_desc:
+            if isinstance(d, str) or not d[1].get("has_ext"):
+                continue
+            # Frame-local conditioning only: per-frame adaptive GN reads
+            # the CURRENT token frame's quant latents, which streaming has.
+            if not (d[0] == "adaptive_group_norm" and d[1].get("per_frame")):
+                return False
         frames_per_step = 1
         for name, kw in self._expand_blueprint(self.dec_desc):
             if name == "causal-conv3d":
@@ -240,6 +248,15 @@ class VideoTokenizer(nn.Module):
                     "constant", "zeros",
                 ):
                     return False
+            elif name == "video-residual":
+                if not kw.get("use_causal"):
+                    return False
+                if kw.get("downsample") is not None:
+                    return False
+                if kw.get("use_norm", True) and not kw.get("per_frame_norm"):
+                    return False
+                if kw.get("pad_mode", "constant") not in ("constant", "zeros"):
+                    return False
             elif name == "space-time_attn":
                 if kw.get("hid_dim") is not None or frames_per_step != 1:
                     return False
@@ -248,6 +265,11 @@ class VideoTokenizer(nn.Module):
             elif name == "depth2time_upsample":
                 frames_per_step *= int(kw.get("factor", 2))
             elif name == "depth2space_upsample":
+                pass
+            elif name in ("group_norm", "adaptive_group_norm"):
+                if not kw.get("per_frame"):
+                    return False
+            elif name in ("silu", "gelu", "relu", "leaky_relu"):
                 pass
             else:
                 return False
@@ -279,6 +301,14 @@ class VideoTokenizer(nn.Module):
                 caches.append(
                     jnp.zeros((batch, tp, h, w, kw["in_channels"]), dtype)
                 )
+            elif name == "video-residual":
+                kt = cast_tuple(kw.get("kernel_size", 3), 3)[0]
+                in_ch = kw["in_channels"]
+                out_ch = kw.get("out_channels") or in_ch
+                caches.append({
+                    "conv1": jnp.zeros((batch, kt - 1, h, w, in_ch), dtype),
+                    "conv2": jnp.zeros((batch, kt - 1, h, w, out_ch), dtype),
+                })
             elif name == "space-time_attn":
                 from open_genie_tpu.modules.attention import st_attn_cache
 
@@ -296,6 +326,10 @@ class VideoTokenizer(nn.Module):
                 caches.append(None)
                 h *= int(kw.get("factor", 2))
                 w *= int(kw.get("factor", 2))
+            else:
+                # Stateless frame-local layers (per-frame norms,
+                # activations); `stream_decodable` already vetted the set.
+                caches.append(None)
         return caches
 
     def stream_dtype(self):
@@ -335,16 +369,23 @@ class VideoTokenizer(nn.Module):
         if idxs.ndim == 3:
             idxs = idxs[:, None]
         x = self.quant.decode_entries(idxs)
+        # Frame-local conditioning for `has_ext` layers (per-frame adaptive
+        # GroupNorm): the batch decode conditions on the quant latents
+        # (`decode`'s cond default); the streaming step holds exactly the
+        # current token frame's latents, which is all a per-frame layer reads.
+        cond = x
         new_cache = []
-        for (name, _), layer, lc in zip(
-            self._expand_blueprint(self.dec_desc), self.dec_layers, cache
+        for (name, _), layer, has_ext, lc in zip(
+            self._expand_blueprint(self.dec_desc), self.dec_layers,
+            self.dec_ext, cache,
         ):
+            layer_cond = cond if has_ext else None
             if name == "space-time_attn":
-                x, c = layer(x, None, None, False, cache=lc, cache_pos=pos)
+                x, c = layer(x, layer_cond, None, False, cache=lc, cache_pos=pos)
             elif lc is not None:
-                x, c = layer(x, None, None, False, cache=lc)
+                x, c = layer(x, layer_cond, None, False, cache=lc)
             else:
-                x, c = layer(x, None, None, False), None
+                x, c = layer(x, layer_cond, None, False), None
             new_cache.append(c)
         return x, new_cache
 

@@ -33,7 +33,10 @@ class LookupFreeQuantization(nn.Module):
     num_codebook: int = 1
     input_dim: Optional[int] = None
     use_bias: bool = True
-    frac_sample: float = 1.0  # accepted for API compat (unused in reference too)
+    # Fraction of tokens entering the diversity-entropy term (strided
+    # subsample, `ops/lfq.py::lfq_loss`) -- implemented here; the reference
+    # declares but never uses it (`quantization.py:60`, SURVEY 2.11.7).
+    frac_sample: float = 1.0
     commit_weight: float = 0.25
     entropy_weight: float = 0.1
     diversity_weight: float = 1.0

@@ -346,6 +346,12 @@ class VideoResidualBlock(nn.Module):
 
     main: Norm -> act -> Conv(k) -> [Down?] -> Norm -> act -> Conv(k)
     res : [Down?] -> 1x1 Conv
+
+    `per_frame_norm=True` restricts the GroupNorm statistics of video input
+    to within-frame (see `norm.GroupNorm.per_frame`); with `use_causal=True`
+    the whole block is then strictly time-causal, which enables the
+    streaming decode path (`VideoTokenizer.decode_stream`) for residual
+    decoder stacks -- the serving-grade `magvit2_stream` blueprint.
     """
 
     in_channels: int
@@ -358,6 +364,7 @@ class VideoResidualBlock(nn.Module):
     use_norm: bool = True
     use_blur: bool = True
     act_fn: str = "swish"
+    per_frame_norm: bool = False
 
     @property
     def inp_dim(self) -> int:
@@ -367,8 +374,23 @@ class VideoResidualBlock(nn.Module):
     def out_dim(self) -> int:
         return default(self.out_channels, self.in_channels)
 
+    def stream_state_len(self) -> int:
+        """Causal left-pad width of each main-branch conv (streaming state
+        frames per conv); the 1x1 residual projection is stateless."""
+        kt, _, _ = cast_tuple(self.kernel_size, 3)
+        return kt - 1
+
     @nn.compact
-    def __call__(self, x, cond=None, mask=None, train: bool = False):
+    def __call__(self, x, cond=None, mask=None, train: bool = False,
+                 cache=None):
+        """Full forward, or streaming single-step decode.
+
+        Streaming mode (`cache` = `{'conv1': window, 'conv2': window}` of
+        the two main-branch convs' trailing input frames, see
+        `CausalConv3d.__call__`): requires `use_causal`, no downsample, and
+        frame-local norms (`per_frame_norm` or `use_norm=False`). Returns
+        `(out, new_cache)`, bit-exact vs the batch forward.
+        """
         out_ch = default(self.out_channels, self.in_channels)
         k = cast_tuple(self.kernel_size, 3)
         act = _act(self.act_fn)
@@ -379,17 +401,27 @@ class VideoResidualBlock(nn.Module):
         def norm(h, name):
             if not self.use_norm:
                 return h
-            return nn.GroupNorm(num_groups=self.num_groups, name=name)(h)
+            gn = nn.GroupNorm(num_groups=self.num_groups, name=name)
+            if self.per_frame_norm and h.ndim == 5:
+                b, t = h.shape[:2]
+                return gn(h.reshape((b * t,) + h.shape[2:])).reshape(h.shape)
+            return gn(h)
 
-        def conv(h, features, kernel, name):
+        def conv(h, features, kernel, name, conv_cache=None):
             if self.use_causal:
-                return CausalConv3d(
+                mod = CausalConv3d(
                     h.shape[-1],
                     features,
                     kernel_size=kernel,
                     pad_mode=self.pad_mode,
                     name=name,
-                )(h)
+                )
+                if conv_cache is not None:
+                    return mod(h, cache=conv_cache)
+                return mod(h)
+            assert conv_cache is None, (
+                "streaming VideoResidualBlock requires use_causal=True"
+            )
             pad = tuple((kk - 1) // 2 for kk in cast_tuple(kernel, 3))
             return nn.Conv(
                 features,
@@ -413,6 +445,21 @@ class VideoResidualBlock(nn.Module):
                 space_factor=sf,
                 name=name,
             )(h)
+
+        if cache is not None:
+            assert self.use_causal and down is None, (
+                "streaming VideoResidualBlock: use_causal=True, no downsample"
+            )
+            assert self.per_frame_norm or not self.use_norm, (
+                "streaming VideoResidualBlock requires per_frame_norm "
+                "(time-pooled GroupNorm is not causal)"
+            )
+            h = act(norm(x, "norm1"))
+            h, c1 = conv(h, out_ch, k, "conv1", conv_cache=cache["conv1"])
+            h = act(norm(h, "norm2"))
+            h, c2 = conv(h, out_ch, k, "conv2", conv_cache=cache["conv2"])
+            r = conv(x, out_ch, 1, "res_proj")  # 1x1: no temporal state
+            return h + r, {"conv1": c1, "conv2": c2}
 
         # Main branch
         h = norm(x, "norm1")

@@ -113,15 +113,19 @@ class InteractiveSession:
         # the refine scan's tail. The carry buffers (token window + KV
         # caches, the big one) are donated: the step updates them in place
         # instead of allocating a fresh ~50 MB cache copy every frame.
+        # The frame counter `t` rides in the donated on-device carry too:
+        # uploading it per step would cost one extra host->device RPC per
+        # frame over a tunneled backend (the action id is then the ONLY
+        # per-step upload).
         def _step_decode(p, buf, cache, t, act, key):
             buf, cache = genie.apply(
                 p, buf, cache, t, act, key,
                 steps_per_frame=steps_per_frame, temp=temp, which=which,
                 top_k=top_k, method=genie.session_step,
             )
-            return buf, cache, _decode_last(p, buf, t + 1)
+            return buf, cache, t + 1, _decode_last(p, buf, t + 1)
 
-        self._step_decode = jax.jit(_step_decode, donate_argnums=(1, 2))
+        self._step_decode = jax.jit(_step_decode, donate_argnums=(1, 2, 3))
 
         # ---- streaming-decode variants (self.stream) ------------------ #
         # Decoder states live on-device beside the dynamics KV caches; a
@@ -182,17 +186,17 @@ class InteractiveSession:
             )
             # Time-expanding decoders emit tf pixel frames per token frame;
             # the step's display frame is the newest one.
-            return buf, cache, dcache, pix[:, -1]
+            return buf, cache, dcache, t + 1, pix[:, -1]
 
         self._step_decode_stream = jax.jit(
-            _step_decode_stream, donate_argnums=(1, 2, 3)
+            _step_decode_stream, donate_argnums=(1, 2, 3, 4)
         )
         # Exact prompt decode (static prompt length; compiles once per
         # prompt shape).
         self._decode_prefix = jax.jit(
             lambda p, tokens: genie.apply(p, tokens, method=genie.decode_window)
         )
-        self._buf = self._cache = self._dcache = None
+        self._buf = self._cache = self._dcache = self._t_dev = None
         self._t = 0
         self._t0 = 0
         self._keys = None
@@ -225,6 +229,9 @@ class InteractiveSession:
         self._buf, self._cache = buf, cache
         self._t0 = int(t0)
         self._t = self._t0
+        # On-device frame counter (one upload per reset/rebase, none per
+        # step); `self._t` stays the host-side mirror for bookkeeping.
+        self._t_dev = jnp.asarray(self._t, jnp.int32)
         self._seed = seed
         self._rebases = 0
         # Constant rebase width, fixed at reset: every rebase keeps the
@@ -255,18 +262,17 @@ class InteractiveSession:
         b = self._buf.shape[0]
         act = jnp.broadcast_to(jnp.asarray(action, jnp.int32), (b,))
         key = self._keys[self._t - self._t0]
-        t = jnp.asarray(self._t, jnp.int32)
         try:
             if self.stream:
-                self._buf, self._cache, self._dcache, frame = (
+                self._buf, self._cache, self._dcache, self._t_dev, frame = (
                     self._step_decode_stream(
                         self.params, self._buf, self._cache, self._dcache,
-                        t, act, key,
+                        self._t_dev, act, key,
                     )
                 )
             else:
-                self._buf, self._cache, frame = self._step_decode(
-                    self.params, self._buf, self._cache, t, act, key,
+                self._buf, self._cache, self._t_dev, frame = self._step_decode(
+                    self.params, self._buf, self._cache, self._t_dev, act, key,
                 )
         except Exception as exc:
             # The step donates the session carries (buffer + KV caches) to
@@ -274,7 +280,7 @@ class InteractiveSession:
             # consumed them. Invalidate the session explicitly so the
             # failure mode is a clear contract, not a later cryptic
             # "Array has been deleted".
-            self._buf = self._cache = self._dcache = None
+            self._buf = self._cache = self._dcache = self._t_dev = None
             raise RuntimeError(
                 "InteractiveSession.step failed mid-dispatch; the donated "
                 "session state may be lost -- call reset() to start a new "
@@ -305,6 +311,7 @@ class InteractiveSession:
         self._acts = self._acts[-keep:]
         self._t0 = keep
         self._t = keep
+        self._t_dev = jnp.asarray(self._t, jnp.int32)
         self._rebases += 1
         self._keys = list(jax.random.split(
             jax.random.fold_in(

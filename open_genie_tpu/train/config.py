@@ -32,6 +32,7 @@ def _to_blueprint(raw) -> Blueprint:
         named = {
             "magvit2_enc": bp.MAGVIT2_ENC_DESC,
             "magvit2_dec": bp.MAGVIT2_DEC_DESC,
+            "magvit2_stream_dec": bp.MAGVIT2_STREAM_DEC_DESC,
             "repr_tok_enc": bp.REPR_TOK_ENC,
             "repr_tok_dec": bp.REPR_TOK_DEC,
             "latent_act_enc": bp.LATENT_ACT_ENC,

@@ -254,32 +254,87 @@ def test_section_run_persists_canonical_result(harness, monkeypatch):
 def test_section_train_bonus_shapes_do_not_overwrite_backstop(
     harness, monkeypatch
 ):
-    """A child `--section tokenizer_train` at non-default shapes (the b4f8
-    bonus) must not overwrite the mandatory b2f4 backstop — the
-    orchestrator saves a bonus result itself, only when it wins."""
+    """A child `--section tokenizer_train` at non-canonical shapes (ad-hoc
+    sweeps, or the b2f4 fallback shape) must not overwrite the canonical
+    b4f8 backstop — the orchestrator saves the fallback under its own key."""
     monkeypatch.setitem(
         bench.SECTIONS,
         "tokenizer_train",
-        lambda a: {"tokenizer_train_fps": 55.0},
+        lambda a: {"tokenizer_train_fps": 95.0, "train_shape": "b4f8"},
     )
     monkeypatch.setattr(
         sys, "argv", ["bench.py", "--section", "tokenizer_train"]
     )
     bench.main()
     saved = json.load(open(bench._RESULTS_FILE))
-    assert saved["tokenizer_train"]["result"]["tokenizer_train_fps"] == 55.0
+    assert saved["tokenizer_train"]["result"]["tokenizer_train_fps"] == 95.0
 
     monkeypatch.setitem(
         bench.SECTIONS,
         "tokenizer_train",
-        lambda a: {"tokenizer_train_fps": 40.0},  # b4f8 run that did WORSE
+        lambda a: {"tokenizer_train_fps": 55.0, "train_shape": "b2f4"},
     )
     monkeypatch.setattr(
         sys,
         "argv",
         ["bench.py", "--section", "tokenizer_train",
-         "--train-batch", "4", "--train-frames", "8"],
+         "--train-batch", "2", "--train-frames", "4"],
     )
     bench.main()
     saved = json.load(open(bench._RESULTS_FILE))
-    assert saved["tokenizer_train"]["result"]["tokenizer_train_fps"] == 55.0
+    assert saved["tokenizer_train"]["result"]["tokenizer_train_fps"] == 95.0
+
+
+def test_orchestrator_noncanonical_shapes_do_not_save(harness):
+    """A FULL orchestrator run started with explicit non-canonical shapes
+    (ad-hoc sweeps) must not overwrite the canonical saved backstops
+    (advisor round-3 finding: only the child path guarded shapes)."""
+    install, run, calls = harness
+    with open(bench._RESULTS_FILE, "w") as f:
+        json.dump({
+            "rollout": {"ts": time.time() - 600,
+                        "result": {"rollout_fps": 66.0, "spf": 25}},
+            "tokenizer_train": {
+                "ts": time.time() - 600,
+                "result": {"tokenizer_train_fps": 95.0,
+                           "train_shape": "b4f8"}},
+        }, f)
+    install({
+        "rollout": ok(rollout_fps=200.0),  # cheap 4-frame shape
+        "tokenizer": ok(tokenizer_roundtrip_fps=210.0),
+        "tokenizer_train": ok(tokenizer_train_fps=55.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    run(argv=("bench.py", "--frames", "4",
+              "--train-batch", "2", "--train-frames", "4"))
+    saved = json.load(open(bench._RESULTS_FILE))
+    assert saved["rollout"]["result"]["rollout_fps"] == 66.0
+    assert saved["tokenizer_train"]["result"]["tokenizer_train_fps"] == 95.0
+    # canonical sections from the same run still refresh
+    assert saved["tokenizer"]["result"]["tokenizer_roundtrip_fps"] == 210.0
+
+
+def test_train_fallback_shape_on_big_compile_failure(harness):
+    """When the mandatory b4f8 train step fails (remote compile helper),
+    the orchestrator falls back to b2f4, reports it live with its shape
+    label, and saves it under its own key (never the canonical one)."""
+    install, run, calls = harness
+
+    def train(i):
+        if i < 2:  # first pass + full-cap retry both fail
+            return None, "timeout", 560.0
+        return ({"tokenizer_train_fps": 57.0, "train_shape": "b2f4"},
+                "ok", 5.0)
+
+    install({
+        "rollout": ok(rollout_fps=50.0),
+        "tokenizer": ok(tokenizer_roundtrip_fps=210.0),
+        "tokenizer_train": train,
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    final, _ = run(budget="5000")
+    assert final["extra"]["tokenizer_train_fps"] == 57.0
+    assert final["extra"]["tokenizer_train_shape"] == "b2f4"
+    saved = json.load(open(bench._RESULTS_FILE))
+    assert "tokenizer_train" not in saved
+    assert saved["tokenizer_train_b2f4"]["result"]["tokenizer_train_fps"] == 57.0

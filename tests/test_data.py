@@ -132,7 +132,7 @@ def test_make_data_gym_mocked(tmp_path, monkeypatch, capsys):
     cli.main([
         "make-data", "--root", str(tmp_path), "--source", "gym",
         "--env-name", "Coinrun", "--num-videos", "2",
-        "--timeout", str(TIMEOUT),
+        "--timeout", str(TIMEOUT), "--size", str(H),
     ])
     out = capsys.readouterr().out
     assert "wrote 2 gym rollouts" in out
@@ -150,3 +150,32 @@ def test_make_data_gym_mocked(tmp_path, monkeypatch, capsys):
     clip = np.asarray(ds[0])
     assert clip.shape == (4, H, WDT, 3)
     assert clip.min() >= 0.0 and clip.max() <= 1.0
+
+
+def test_make_data_gym_real_gymnasium(tmp_path, capsys):
+    """`make-data --source gym` against a REAL environment: a registered
+    env id (`CartPole-v1`) runs under gymnasium with rgb_array rendering
+    (the procgen package itself is not installable here -- this exercises
+    the identical random-policy rollout -> mp4 path against live env
+    dynamics instead of a mock). Skipped where gymnasium/cv2 are absent."""
+    pytest.importorskip("gymnasium")
+    from open_genie_tpu.data.video import HAS_CV2
+
+    if not HAS_CV2:
+        pytest.skip("OpenCV required to write/read mp4")
+    from open_genie_tpu import cli
+
+    cli.main([
+        "make-data", "--root", str(tmp_path), "--source", "gym",
+        "--env-name", "CartPole-v1", "--num-videos", "1",
+        "--timeout", "6", "--size", "32",
+    ])
+    assert "wrote 1 gym rollouts" in capsys.readouterr().out
+    ds = Platformer2D(
+        root=str(tmp_path), env_name="CartPole-v1", split="train",
+        num_frames=6,
+    )
+    clip = np.asarray(ds[0])
+    assert clip.shape == (6, 32, 32, 3)
+    # live rendering, not a constant frame: the cart must actually move
+    assert float(np.abs(clip[1:] - clip[:-1]).max()) > 0.0

@@ -62,6 +62,52 @@ TOK_TF2_KW = dict(
 )
 
 
+# Serving-grade residual decoder (magvit2_stream style, scaled down):
+# causal residual blocks with per-frame GroupNorm, per-frame adaptive
+# GroupNorm conditioned on the quant latents (incl. one AFTER the time
+# upsample, exercising the tf-repeat of the conditioning affine), head GN.
+TOK_RES_KW = dict(
+    enc_desc=(
+        ("spacetime_downsample", {
+            "in_channels": 3, "kernel_size": 3, "out_channels": 16,
+            "time_factor": 2, "space_factor": 2,
+        }),
+        ("causal-conv3d", {"in_channels": 16, "out_channels": 5,
+                           "kernel_size": 1}),
+    ),
+    dec_desc=(
+        ("causal-conv3d", {"in_channels": 5, "out_channels": 16,
+                           "kernel_size": 3}),
+        ("video-residual", {
+            "n_rep": 2, "in_channels": 16, "use_causal": True,
+            "per_frame_norm": True, "num_groups": 2,
+        }),
+        ("adaptive_group_norm", {
+            "dim_cond": 5, "num_groups": 2, "num_channels": 16,
+            "has_ext": True, "per_frame": True,
+        }),
+        ("depth2spacetime_upsample", {
+            "in_channels": 16, "kernel_size": 3, "out_channels": 8,
+            "time_factor": 2, "space_factor": 2,
+        }),
+        ("adaptive_group_norm", {
+            "dim_cond": 5, "num_groups": 2, "num_channels": 8,
+            "has_ext": True, "per_frame": True,
+        }),
+        ("video-residual", {
+            "in_channels": 8, "use_causal": True,
+            "per_frame_norm": True, "num_groups": 2,
+        }),
+        ("group_norm", {"num_groups": 2, "num_channels": 8,
+                        "per_frame": True}),
+        ("silu", {}),
+        ("causal-conv3d", {"in_channels": 8, "out_channels": 3,
+                           "kernel_size": 3}),
+    ),
+    d_codebook=5,
+)
+
+
 def _init_tok(kw, key, t=4, hw=16):
     model = VideoTokenizer(**kw)
     video = jnp.zeros((1, t, hw, hw, 3), jnp.float32)
@@ -87,7 +133,9 @@ def _stream_decode_all(model, params, idxs):
     return jnp.concatenate(outs, axis=1)
 
 
-@pytest.mark.parametrize("kw", [TOK_KW, TOK_TF2_KW], ids=["tf1", "tf2"])
+@pytest.mark.parametrize(
+    "kw", [TOK_KW, TOK_TF2_KW, TOK_RES_KW], ids=["tf1", "tf2", "residual"]
+)
 def test_stream_matches_batch_decode(kw):
     model, params = _init_tok(kw, jax.random.PRNGKey(0))
     idxs = jax.random.randint(
@@ -104,11 +152,19 @@ def test_stream_matches_batch_decode(kw):
 def test_stream_decodable_static_checks():
     assert VideoTokenizer(**TOK_KW).stream_decodable()
     assert VideoTokenizer(**TOK_TF2_KW).stream_decodable()
-    # Time-pooled GroupNorm stacks (stock MAGVIT2) are not streamable.
-    from open_genie_tpu.models.blueprints import MAGVIT2_DEC_DESC
+    assert VideoTokenizer(**TOK_RES_KW).stream_decodable()
+    # Time-pooled GroupNorm stacks (stock MAGVIT2) are not streamable;
+    # the serving-grade flagship variant (same topology, per-frame causal
+    # statistics) is.
+    from open_genie_tpu.models.blueprints import (
+        MAGVIT2_DEC_DESC,
+        MAGVIT2_STREAM_DEC_DESC,
+    )
 
     not_ok = dict(TOK_KW, dec_desc=MAGVIT2_DEC_DESC)
     assert not VideoTokenizer(**not_ok).stream_decodable()
+    ok = dict(TOK_KW, dec_desc=MAGVIT2_STREAM_DEC_DESC, d_codebook=18)
+    assert VideoTokenizer(**ok).stream_decodable()
     # Attention after a time-expanding upsample is not streamable
     # (single-position KV decode).
     attn_after_tf = dict(
