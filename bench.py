@@ -458,11 +458,7 @@ def _canonical_shapes(section: str, args) -> bool:
     every `_save_result`: a run started with non-default shapes (ad-hoc
     sweeps, `--train-batch 2`, `--frames 8`) must never overwrite the
     canonical saved entries that backstop the driver's end-of-round bench.
-    Kernel-mode experiments (OGT_PALLAS_DECODE) run a different program
-    than the default path and are never canonical.
     """
-    if os.environ.get("OGT_PALLAS_DECODE"):
-        return False
     if section == "rollout":
         return args.frames == 16 and args.steps_per_frame == 25
     if section == "tokenizer_train":

@@ -21,6 +21,7 @@ import os
 def _train(args):
     from open_genie_tpu.train.config import load_config
     from open_genie_tpu.train.trainer import (
+        train_action,
         train_dynamics,
         train_genie,
         train_tokenizer,
@@ -30,7 +31,7 @@ def _train(args):
     if args.max_steps is not None:
         cfg.trainer.max_steps = args.max_steps
     fn = {"tokenizer": train_tokenizer, "genie": train_genie,
-          "dynamics": train_dynamics}[args.what]
+          "dynamics": train_dynamics, "action": train_action}[args.what]
     fn(cfg, resume=args.resume)
 
 
@@ -310,6 +311,15 @@ def _eval_genie(args):
     report = evaluate_genie(
         genie, params["model"], loader, key, max_batches=args.max_batches
     )
+    if args.controllability_frames:
+        from open_genie_tpu.eval import action_controllability
+
+        prompt = jnp.asarray(next(iter(loader)))[:1, :1]
+        report.update(action_controllability(
+            genie, {"params": params["model"]}, prompt,
+            jax.random.fold_in(key, 7),
+            num_frames=args.controllability_frames,
+        ))
     print(json.dumps({k: round(float(v), 5) for k, v in report.items()}))
 
 
@@ -485,7 +495,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pt = sub.add_parser("train", help="train a model from a YAML config")
-    pt.add_argument("what", choices=["tokenizer", "genie", "dynamics"])
+    pt.add_argument("what", choices=["tokenizer", "genie", "dynamics", "action"])
     pt.add_argument("--config", required=True)
     pt.add_argument("--resume", action="store_true")
     pt.add_argument("--max-steps", type=int, default=None)
@@ -541,6 +551,11 @@ def main(argv=None):
     pe.add_argument("--ema", action="store_true",
                     help="score the EMA params (requires a checkpoint "
                     "trained with optimizer.ema_decay)")
+    pe.add_argument("--controllability-frames", dest="controllability_frames",
+                    type=int, default=0,
+                    help="genie only: also measure action controllability "
+                    "(rollout divergence across action branches vs the "
+                    "sampling-noise floor) over this many frames (0 = off)")
     pe.set_defaults(fn=_eval)
 
     pk = sub.add_parser(

@@ -114,6 +114,81 @@ def codebook_stats(idxs: jnp.ndarray, vocab: int) -> Dict[str, jnp.ndarray]:
     }
 
 
+def action_controllability(
+    genie,
+    params,
+    prompt: jnp.ndarray,
+    key: jax.Array,
+    num_frames: int = 8,
+    steps_per_frame: int = 8,
+    n_branches: int = 4,
+) -> Dict[str, float]:
+    """Do actions actually steer the rollout? (VERDICT r3 item 2.)
+
+    A Genie exists to be *played*; reconstruction metrics cannot see a
+    dynamics model that ignores its action input. From one prompt, roll
+    out `n_branches` branches with DISTINCT random action sequences under
+    the SAME sampling key (shared randomness -> any divergence is caused
+    by the actions), and `n_branches` branches with the SAME actions under
+    DIFFERENT sampling keys (the MaskGIT sampling-noise floor). Reports
+    the mean pairwise per-pixel L1 distance of each set and their ratio:
+    a controllable model has `action_divergence` well above
+    `seed_divergence`; an action-ignoring one sits at the floor.
+
+    Reference intent being measured: user-supplied action ids driving
+    `dynamics.generate` (`/root/reference/genie/action.py:107-109`,
+    `genie/genie.py:65-105` -- non-functional there, working here).
+    """
+    if prompt.ndim == 4:
+        prompt = prompt[:, None]
+    act_vocab = 2 ** genie.latent_action.get("d_codebook", 8)
+    b = prompt.shape[0]
+
+    @jax.jit
+    def rollout(params, actions, sample_key):
+        return genie.apply(
+            params, prompt, actions, sample_key,
+            num_frames=num_frames, steps_per_frame=steps_per_frame,
+        )
+
+    k_act, k_sample = jax.random.split(key)
+    act_keys = jax.random.split(k_act, n_branches)
+    action_seqs = [
+        jax.random.randint(k, (b, num_frames + 1), 0, act_vocab)
+        for k in act_keys
+    ]
+    sample_keys = jax.random.split(k_sample, n_branches)
+
+    # Branch set A: distinct actions, shared sampling key.
+    pix_act = [
+        np.asarray(rollout(params, a, sample_keys[0]), np.float32)
+        for a in action_seqs
+    ]
+    # Branch set B: shared actions, distinct sampling keys.
+    pix_seed = [
+        np.asarray(rollout(params, action_seqs[0], k), np.float32)
+        for k in sample_keys
+    ]
+
+    def pairwise_l1(branches):
+        dists = [
+            float(np.mean(np.abs(branches[i] - branches[j])))
+            for i in range(len(branches))
+            for j in range(i + 1, len(branches))
+        ]
+        return float(np.mean(dists))
+
+    act_div = pairwise_l1(pix_act)
+    seed_div = pairwise_l1(pix_seed)
+    return {
+        "action_divergence": act_div,
+        "seed_divergence": seed_div,
+        "action_to_noise_ratio": act_div / max(seed_div, 1e-8),
+        "controllability_frames": float(num_frames),
+        "controllability_branches": float(n_branches),
+    }
+
+
 def evaluate_genie(
     genie,
     params,

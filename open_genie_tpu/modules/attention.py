@@ -114,7 +114,12 @@ class Attention(nn.Module):
         survive), which made the rollout HBM-bound in B.
         """
         hid = self.n_head * self.d_head
-        d_inp = default(self.d_inp, hid)
+        # Unspecified input width is inferred from the traced input (the
+        # reference's fixed-size Adapter would crash on any input narrower
+        # than n_head*d_head, which its own stock configs feed it --
+        # SURVEY 2.11 stale-blueprint family; shape inference is the JAX-
+        # native fix). RoPE must match the actual qry width either way.
+        d_inp = default(self.d_inp, qry.shape[-1])
         d_out = default(self.d_out, d_inp)
         decode = kv_cache is not None
 
@@ -476,7 +481,12 @@ class SpaceTimeAttention(nn.Module):
         n_head = self.n_head if isinstance(self.n_head, tuple) else (self.n_head,) * 2
         d_head = self.d_head if isinstance(self.d_head, tuple) else (self.d_head,) * 2
         embed = self.embed if isinstance(self.embed, tuple) else (self.embed,) * 2
-        d_inp = default(default(self.d_inp, self.n_embd), n_head[0] * d_head[0])
+        # d_inp falls back to the TRACED input width (not n_head*d_head):
+        # the reference's stock configs instantiate this block with no dims
+        # on inputs narrower than the hidden width (config/tokenize.yaml
+        # enc: 64-wide input into an 8x64-head block), which its fixed-size
+        # projections could never run; inference is the fix-by-design.
+        d_inp = default(default(self.d_inp, self.n_embd), video.shape[-1])
         d_out = default(default(self.d_out, self.n_embd), n_head[1] * d_head[1])
         space_hid = n_head[0] * d_head[0]
         time_hid = n_head[1] * d_head[1]
@@ -493,36 +503,13 @@ class SpaceTimeAttention(nn.Module):
         space_kw = dict(self.space_attn_kw or {})
         time_kw = dict(self.time_attn_kw or {})
 
-        # Fused-kernel fast path for the read-only refine step: the whole
-        # block (RoPE+LN+QKV+attention x2 + GN+tap-conv FFN, ~30 XLA ops)
-        # runs as 3 Pallas kernels -- at decode shapes the XLA path is
-        # bound by per-op scheduling latency, not compute (PARITY.md
-        # utilization section). Opt-in via OGT_PALLAS_DECODE; parity with
-        # this branch is pinned by tests/test_st_decode_pallas.py.
-        if (
-            decode
-            and not cache_write
-            and not self.is_initializing()
-            and mask is None
-            and self.scale is None
-            and embed == (True, True)
-            and not space_kw
-            and not time_kw
-        ):
-            from open_genie_tpu.ops.pallas import st_decode
-
-            kmode = st_decode.mode()
-            if kmode is not None and st_decode.refine_block_supported(
-                d_inp, space_hid, time_hid, d_out, n_head[0], n_head[1],
-                self.bias, cache["k"].shape[2], self.hid_dim,
-            ):
-                out = st_decode.refine_block(
-                    video, cache, cache_pos, self.variables["params"],
-                    heads=n_head[1],
-                    use_ffn_kernel=kmode in ("full", "fuse"),
-                    merge_attn=kmode.startswith("fuse"),
-                )
-                return out, dict(cache)
+        # (Removed in round 4: a fused-Pallas decode-step fast path lived
+        # here for two rounds, gated off because the on-chip A/B measured
+        # every kernel mode 0.4-4% SLOWER than this XLA path -- the
+        # read-only refine + FFN time-tap split + fused QKV already
+        # removed the dispatch latency the kernels targeted. Decision and
+        # numbers: PARITY.md "Fused decode kernels: tried, measured,
+        # removed".)
 
         # Spatial attention + 1x1-conv skip when dims change.
         sa = SpatialAttention(

@@ -209,8 +209,9 @@ class GenieModelConfig:
     # Tokenizer (pretrained; checkpoint path to restore from)
     tokenizer: Dict[str, Any] = field(default_factory=dict)
     tokenizer_ckpt: Optional[str] = None
-    # Latent action model
+    # Latent action model (optionally pre-trained via `train action`)
     latent_action: Dict[str, Any] = field(default_factory=dict)
+    action_ckpt: Optional[str] = None
     # Dynamics model (optionally staged-pretrained via `train dynamics`)
     dynamics: Dict[str, Any] = field(default_factory=dict)
     dynamics_ckpt: Optional[str] = None
@@ -236,6 +237,7 @@ class GenieModelConfig:
             tokenizer=tok,
             tokenizer_ckpt=raw.get("tokenizer_ckpt"),
             latent_action=act,
+            action_ckpt=raw.get("action_ckpt"),
             dynamics=dyn,
             dynamics_ckpt=raw.get("dynamics_ckpt"),
             optimizer=OptimizerConfig.from_raw(raw.get("optimizer")),
@@ -283,6 +285,11 @@ class DataConfig:
     output_format: str = "t h w c"  # accepted; pipeline is channels-last
     num_workers: int = 2
     source: str = "platformer"  # 'platformer' | 'synthetic' | 'gvid'
+    # kinetics source knobs (official torchvision semantics,
+    # `data/kinetics.py`; reference `genie/dataset.py:14-40`)
+    step_between_clips: int = 1
+    frame_rate: Optional[int] = None
+    num_classes: str = "400"
     # synthetic source knobs
     num_videos: int = 256
     height: int = 64
@@ -363,6 +370,32 @@ class ExperimentConfig:
     trainer: TrainerConfig
 
 
+@dataclass
+class ActionModelConfig:
+    """Standalone LatentAction VQ-VAE pre-training.
+
+    The reference exposes `LatentAction.forward` as its own pre-training
+    objective (SURVEY 3.4, `/root/reference/genie/action.py:151-176`) but
+    ships no entry point for it; `cli train action` is that entry."""
+
+    latent_action: Dict[str, Any] = field(default_factory=dict)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+
+    @classmethod
+    def from_raw(cls, raw: dict) -> "ActionModelConfig":
+        raw = dict(raw or {})
+        act = dict(raw.get("latent_action") or {})
+        for k in ("enc_desc", "dec_desc"):
+            if k in act:
+                act[k] = _to_blueprint(act[k])
+        if "inp_shape" in act:
+            act["inp_shape"] = tuple(act["inp_shape"])
+        return cls(
+            latent_action=act,
+            optimizer=OptimizerConfig.from_raw(raw.get("optimizer")),
+        )
+
+
 def load_config(path: str, kind: str = "tokenizer") -> ExperimentConfig:
     with open(path) as f:
         raw = yaml.safe_load(f)
@@ -372,6 +405,7 @@ def load_config(path: str, kind: str = "tokenizer") -> ExperimentConfig:
         "tokenizer": TokenizerModelConfig,
         "genie": GenieModelConfig,
         "dynamics": DynamicsModelConfig,
+        "action": ActionModelConfig,
     }[kind]
     return ExperimentConfig(
         model=model_cls.from_raw(raw.get("model")),

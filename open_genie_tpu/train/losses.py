@@ -154,6 +154,31 @@ class GenieTrainModule(nn.Module):
         )
 
 
+class ActionTrainModule(nn.Module):
+    """Standalone LatentAction VQ-VAE pre-training objective.
+
+    The reference defines this objective (`LatentAction.forward`,
+    `/root/reference/genie/action.py:151-176`: pixel-reconstruction MSE +
+    weighted LFQ loss over the tiny action codebook) but has no entry
+    point for training it alone; `cli train action` drives this module.
+    A pre-trained action model warm-starts joint Genie training via
+    `model.action_ckpt`.
+    """
+
+    latent_action: Dict[str, Any]
+
+    def setup(self):
+        from open_genie_tpu.models.action import LatentAction
+
+        self.model = LatentAction(**self.latent_action)
+
+    def __call__(self, video, key, train: bool = True):
+        idxs, loss, aux = self.model(video, training=train)
+        # 'loss' must be present in VAL metrics too (best-ckpt monitor).
+        return loss, {"loss": loss,
+                      **{f"act_{k}": v for k, v in aux.items()}}
+
+
 class DynamicsTrainModule(nn.Module):
     """Dynamics-only training over pre-tokenized clips.
 

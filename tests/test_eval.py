@@ -143,3 +143,38 @@ def test_evaluate_dynamics_smoke():
     assert report["num_batches"] == 2
     for k in ("loss", "masked_acc", "masked_frac"):
         assert np.isfinite(report[k]), k
+
+
+def test_action_controllability_metric():
+    """Divergence metric contract: deterministic given the key, branch set
+    A (distinct actions, shared sampling key) and branch set B (shared
+    actions, distinct keys) both yield finite non-negative divergences,
+    and identical-everything branches would diverge zero (implicitly: the
+    same-action same-key pair distance is excluded by construction)."""
+    from open_genie_tpu.eval import action_controllability
+    from tests.test_genie import CFG
+    from open_genie_tpu.models.genie import Genie
+
+    model = Genie(**CFG)
+    video = jnp.zeros((1, 4, 16, 16, 3))
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, video, key, method=model.init_full)["params"]
+
+    prompt = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, 1, 16, 16, 3)),
+        jnp.float32,
+    )
+    report = action_controllability(
+        model, {"params": params}, prompt, jax.random.PRNGKey(3),
+        num_frames=2, steps_per_frame=2, n_branches=2,
+    )
+    for k in ("action_divergence", "seed_divergence",
+              "action_to_noise_ratio"):
+        assert np.isfinite(report[k]) and report[k] >= 0.0, k
+    # deterministic given the key
+    again = action_controllability(
+        model, {"params": params}, prompt, jax.random.PRNGKey(3),
+        num_frames=2, steps_per_frame=2, n_branches=2,
+    )
+    assert report["action_divergence"] == again["action_divergence"]
+    assert report["seed_divergence"] == again["seed_divergence"]

@@ -404,3 +404,105 @@ def test_random_vgg_warning_and_snapshot(tmp_path, capsys):
     save_config_snapshot(str(tmp_path), cfg)
     snap = yaml.safe_load(open(tmp_path / "config.yaml"))
     assert snap["perc_weights"] == "random"
+
+
+def test_train_action_standalone_and_genie_warm_start(tmp_path):
+    """`train action` pre-trains the LatentAction VQ-VAE alone (the
+    reference defines the objective, `action.py:151-176`, but ships no
+    entry point), and `model.action_ckpt` warm-starts joint Genie
+    training from it -- loaded params must equal the checkpointed ones."""
+    import numpy as np
+
+    from open_genie_tpu.train.config import load_config
+    from open_genie_tpu.train.trainer import train_action, train_genie
+    import yaml
+
+    act_model = {
+        "latent_action": {
+            "enc_desc": [["space-time_attn",
+                          {"n_rep": 1, "n_embd": 16, "n_head": 2,
+                           "d_head": 8}]],
+            "dec_desc": [["space-time_attn",
+                          {"n_rep": 1, "n_embd": 16, "n_head": 2,
+                           "d_head": 8, "has_ext": True,
+                           "time_attn_kw": {"key_dim": 2}}]],
+            "d_codebook": 2,
+            "n_embd": 16,
+            "inp_shape": [16, 16],
+        },
+    }
+    data = {"source": "synthetic", "num_videos": 4, "num_frames": 4,
+            "height": 16, "width": 16, "batch_size": 2}
+    act_cfg = {
+        "model": act_model,
+        "data": data,
+        "trainer": {"max_steps": 2, "log_every_n_steps": 1,
+                    "val_check_interval": 0, "n_data": 1,
+                    "ckpt_dir": str(tmp_path / "act"),
+                    "ckpt_every_n_steps": 2},
+    }
+    p = tmp_path / "act.yaml"
+    p.write_text(yaml.safe_dump(act_cfg))
+    state = train_action(load_config(str(p), kind="action"))
+    act_params = jax.device_get(state.params)["model"]
+
+    genie_cfg = {
+        "model": {
+            "tokenizer": {
+                "enc_desc": [
+                    ["spacetime_downsample",
+                     {"in_channels": 3, "kernel_size": 3,
+                      "out_channels": 8, "time_factor": 1,
+                      "space_factor": 4}],
+                    ["causal-conv3d", {"in_channels": 8, "out_channels": 4,
+                                       "kernel_size": 1}],
+                ],
+                "dec_desc": [
+                    ["causal-conv3d", {"in_channels": 4, "out_channels": 8,
+                                       "kernel_size": 3}],
+                    ["depth2spacetime_upsample",
+                     {"in_channels": 8, "out_channels": 3, "kernel_size": 3,
+                      "time_factor": 1, "space_factor": 4}],
+                ],
+                "d_codebook": 4,
+            },
+            "latent_action": act_model["latent_action"],
+            "action_ckpt": str(tmp_path / "act"),
+            "dynamics": {
+                "desc": [["space-time_attn",
+                          {"n_rep": 1, "n_embd": 16, "n_head": 2,
+                           "d_head": 8}]],
+                "embed_dim": 16,
+            },
+        },
+        "data": data,
+        "trainer": {"max_steps": 1, "log_every_n_steps": 1,
+                    "val_check_interval": 0, "n_data": 1,
+                    "ckpt_dir": str(tmp_path / "genie"),
+                    "ckpt_every_n_steps": 1},
+    }
+    p2 = tmp_path / "genie.yaml"
+    p2.write_text(yaml.safe_dump(genie_cfg))
+
+    import open_genie_tpu.train.trainer as trainer_mod
+
+    loaded = {}
+    orig = trainer_mod._load_subtree_into_genie
+
+    def spy(state, ckpt, subtree):
+        out = orig(state, ckpt, subtree)
+        loaded["params"] = jax.device_get(out.params)["model"][subtree]
+        return out
+
+    trainer_mod._load_subtree_into_genie = spy
+    try:
+        train_genie(load_config(str(p2), kind="genie"))
+    finally:
+        trainer_mod._load_subtree_into_genie = orig
+
+    assert "params" in loaded, "action_ckpt warm start never ran"
+    flat_a = jax.tree_util.tree_leaves(act_params)
+    flat_b = jax.tree_util.tree_leaves(loaded["params"])
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
