@@ -205,35 +205,52 @@ def evaluate_genie(
     emitted, the paper's "do the 8 actions all get used" question).
     """
 
+    act_vocab = 2 ** genie.latent_action.get("d_codebook", 8)
+
     @jax.jit
     def batch_metrics(params, video, key):
         loss, aux = genie.apply(
             {"params": params}, video, key, training=False,
             return_act_idxs=True, method=genie.compute_loss,
         )
-        act_vocab = 2 ** genie.latent_action.get("d_codebook", 8)
-        stats = codebook_stats(aux.pop("act_idxs"), act_vocab)
+        act_counts = jnp.bincount(
+            aux.pop("act_idxs").reshape(-1), length=act_vocab
+        )
         keep = {
             k: v for k, v in aux.items()
             if k in ("act_loss", "dyn_loss", "act_rec_loss", "act_q_loss",
                      "dyn_masked_acc", "dyn_masked_frac")
         }
-        return {"loss": loss, **keep,
-                **{f"act_code_{k}": v for k, v in stats.items()}}
+        return {"loss": loss, **keep}, act_counts
 
     sums: Dict[str, float] = {}
+    # Pooled over the whole eval set: a per-batch perplexity is capped by
+    # the batch's action count (B*T, often < the 2^8 action book) and its
+    # average understates codebook health.
+    counts = np.zeros(act_vocab, np.int64)
     n = 0
     for i, batch in enumerate(loader):
         if max_batches is not None and i >= max_batches:
             break
         key, sub = jax.random.split(key)
-        out = jax.device_get(batch_metrics(params, jnp.asarray(batch), sub))
+        out, bc = jax.device_get(
+            batch_metrics(params, jnp.asarray(batch), sub)
+        )
         for k, v in out.items():
             sums[k] = sums.get(k, 0.0) + float(v)
+        counts += np.asarray(bc, np.int64)
         n += 1
     if n == 0:
         raise ValueError("evaluate_genie: loader yielded no batches")
-    return {k: v / n for k, v in sums.items()} | {"num_batches": n}
+    p = counts / max(counts.sum(), 1)
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log(nz)).sum())
+    stats = {
+        "act_code_usage": float((counts > 0).mean()),
+        "act_code_perplexity": float(np.exp(entropy)),
+        "act_code_entropy_bits": entropy / float(np.log(2.0)),
+    }
+    return {k: v / n for k, v in sums.items()} | stats | {"num_batches": n}
 
 
 def evaluate_dynamics(
@@ -287,31 +304,65 @@ def evaluate_tokenizer(
     Runs tokenize -> decode on each batch and aggregates PSNR / SSIM /
     reconstruction MSE / codebook stats. One jitted program, re-used
     across batches (static shapes from the loader).
+
+    Codebook health is pooled over the WHOLE eval set, not averaged
+    per-batch: per-batch perplexity is capped by the batch's token count
+    (a few hundred) and its average says nothing about a 2^18-code book.
+    Even pooled, empirical perplexity is capped by the total token count,
+    so `factorized_perplexity` = 2^(sum of per-bit entropies) is also
+    reported -- for LFQ's product-of-bits codebook it is the sample-size-
+    independent effective codebook size.
     """
+    vocab = 2 ** tokenizer.d_codebook
+    d = tokenizer.d_codebook
 
     @jax.jit
     def batch_metrics(params, video):
         _, idxs = tokenizer.apply(params, video, method=tokenizer.tokenize)
         rec = tokenizer.apply(params, idxs, method=tokenizer.decode_tokens)
         rec = jnp.clip(rec, 0.0, 1.0)
-        stats = codebook_stats(idxs, 2**tokenizer.d_codebook)
+        flat = idxs.reshape(-1)
+        bits = (flat[:, None] >> jnp.arange(d)[None, :]) & 1  # (n, d)
         return {
             "psnr": psnr(rec, video).mean(),
             "ssim": ssim(rec, video).mean(),
             "rec_mse": jnp.mean((rec - video) ** 2),
-            **stats,
-        }
+        }, jnp.bincount(flat, length=vocab), bits.sum(0), flat.shape[0]
 
     sums: Dict[str, float] = {}
+    counts = np.zeros(vocab, np.int64)
+    bit_ones = np.zeros(d, np.int64)
+    n_tokens = 0
     n = 0
     for i, batch in enumerate(loader):
         if max_batches is not None and i >= max_batches:
             break
         video = jnp.asarray(batch)
-        out = jax.device_get(batch_metrics(params, video))
+        out, bc, b1, nt = jax.device_get(batch_metrics(params, video))
         for k, v in out.items():
             sums[k] = sums.get(k, 0.0) + float(v)
+        counts += np.asarray(bc, np.int64)
+        bit_ones += np.asarray(b1, np.int64)
+        n_tokens += int(nt)
         n += 1
     if n == 0:
         raise ValueError("evaluate_tokenizer: loader yielded no batches")
-    return {k: v / n for k, v in sums.items()} | {"num_batches": n}
+
+    p = counts / max(counts.sum(), 1)
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log(nz)).sum())
+    pb = bit_ones / max(n_tokens, 1)
+    bit_h = -(
+        np.where(pb > 0, pb * np.log2(np.maximum(pb, 1e-30)), 0.0)
+        + np.where(pb < 1, (1 - pb) * np.log2(np.maximum(1 - pb, 1e-30)), 0.0)
+    )
+    stats = {
+        "usage": float((counts > 0).mean()),
+        "distinct_codes": float((counts > 0).sum()),
+        "perplexity": float(np.exp(entropy)),
+        "entropy_bits": entropy / float(np.log(2.0)),
+        "factorized_entropy_bits": float(bit_h.sum()),
+        "factorized_perplexity": float(2.0 ** bit_h.sum()),
+        "num_tokens": float(n_tokens),
+    }
+    return {k: v / n for k, v in sums.items()} | stats | {"num_batches": n}

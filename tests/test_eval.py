@@ -81,9 +81,17 @@ def test_evaluate_tokenizer_smoke():
                .astype(np.float32) for i in range(3)]
     report = evaluate_tokenizer(tok, params, batches, max_batches=2)
     assert report["num_batches"] == 2
-    for k in ("psnr", "ssim", "rec_mse", "usage", "perplexity"):
+    for k in ("psnr", "ssim", "rec_mse", "usage", "perplexity",
+              "distinct_codes", "factorized_perplexity", "num_tokens"):
         assert np.isfinite(report[k]), k
     assert -1.0 <= report["ssim"] <= 1.0
+    # Codebook stats are pooled over the whole eval set, not averaged
+    # per-batch: tokens counted must equal both batches' token totals
+    # (2 frames x 8x8 grid x 2 batches), and perplexity must never
+    # exceed the pooled distinct-code count.
+    assert report["num_tokens"] == 2 * 2 * 8 * 8
+    assert report["perplexity"] <= report["distinct_codes"] + 1e-6
+    assert report["factorized_perplexity"] <= 2 ** 6 + 1e-6
 
 
 def test_evaluate_genie_smoke():
