@@ -60,7 +60,11 @@ def lfq_quantize(
     When `training`, the straight-through estimator routes gradients around
     the sign: `code = x + stop_grad(sign(x) - x)`.
     """
-    quant = jnp.sign(x)
+    # NOT jnp.sign: sign(0) = 0 would emit a codeword outside {-1,+1}^d
+    # that the commit loss then actively pins at 0 (a zero-attractor), and
+    # it would disagree with the `x > 0` bit convention of `idxs`. Exact
+    # zeros do occur under bf16 activations.
+    quant = jnp.where(x > 0, 1.0, -1.0).astype(x.dtype)
     idxs = jnp.sum(
         (x > 0).astype(jnp.int32) * bit_mask(codebook_dim), axis=-1
     )
@@ -99,7 +103,13 @@ def lfq_avg_probs_direct(x: jnp.ndarray, beta: float = 100.0) -> jnp.ndarray:
     """
     n, d = x.shape
     codes = codebook_entries(jnp.arange(2 ** d), d)  # (2^d, d)
-    logits = 2.0 * beta * (x.astype(jnp.float32) @ codes.T)
+    # HIGHEST: the softmax subtracts a same-magnitude max from O(beta*d)
+    # logits; at the TPU default (one bf16 pass) the cancellation error
+    # reaches the exponent and fabricates probability mass (see
+    # ops/pallas/lfq_entropy.py for the measured failure).
+    logits = 2.0 * beta * jnp.matmul(
+        x.astype(jnp.float32), codes.T, precision=lax.Precision.HIGHEST
+    )
     probs = jax.nn.softmax(logits, axis=-1)
     return jnp.mean(probs, axis=0)
 
@@ -151,7 +161,11 @@ def _lfq_avg_entropy_chunked(
     def chunk_entropy(start):
         idxs = start + jnp.arange(chunk)
         codes = 2.0 * ((idxs[:, None] & mask) != 0).astype(jnp.float32) - 1.0
-        log_p = 2.0 * beta * (xf @ codes.T) - log_z[:, None]  # (n, chunk)
+        # HIGHEST: log_p is the near-total cancellation of two
+        # O(beta*sum|x|) terms (see ops/pallas/lfq_entropy.py).
+        log_p = 2.0 * beta * jnp.matmul(
+            xf, codes.T, precision=lax.Precision.HIGHEST
+        ) - log_z[:, None]  # (n, chunk)
         q = jnp.mean(jnp.exp(log_p), axis=0)  # (chunk,)
         return -jnp.sum(q * jnp.log(jnp.maximum(q, eps)))
 

@@ -51,9 +51,18 @@ def _fwd_kernel(x_ref, logz_ref, q_ref, q_acc, *, beta, chunk, d, n_total):
     logz = logz_ref[:].astype(jnp.float32)  # (bn, 1)
     codes = _chunk_codes(j, chunk, d)  # (chunk, d)
 
+    # HIGHEST precision is load-bearing: `2*beta*<x,c>` and `logZ` are both
+    # O(beta * sum|x|) (thousands at trained |x|~1) and the TRUE logit is
+    # their near-total cancellation. The TPU default matmul precision
+    # (single bf16 pass) leaves ~0.4% relative error in <x,c>, i.e. O(10)
+    # absolute error in the exponent -- e^10 inflation of p, negative
+    # "entropies" (measured -32k on-chip at scale 3), and anti-correlated
+    # gradients (cos -0.95) that collapsed the round-4 flagship codebook at
+    # step ~2300.
     logits = 2.0 * beta * jax.lax.dot_general(
         x, codes, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     ) - logz  # (bn, chunk)
     q_acc[:] += jnp.sum(jnp.exp(logits), axis=0, keepdims=True).T  # (chunk,1)
 
@@ -76,9 +85,12 @@ def _bwd_kernel(x_ref, logz_ref, w_ref, dx_ref, st_acc, *, beta, chunk, d):
     w = w_ref[:].astype(jnp.float32)  # (chunk, 1)
     codes = _chunk_codes(j, chunk, d)  # (chunk, d)
 
+    # HIGHEST precision: see _fwd_kernel -- the logit is a near-total
+    # cancellation of two O(beta*sum|x|) terms.
     logits = 2.0 * beta * jax.lax.dot_general(
         x, codes, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     ) - logz
     p = jnp.exp(logits)  # (bn, chunk)
     pw = p * w.T  # (bn, chunk)
@@ -87,6 +99,7 @@ def _bwd_kernel(x_ref, logz_ref, w_ref, dx_ref, st_acc, *, beta, chunk, d):
     st_acc[:, :d] += jax.lax.dot_general(
         pw, codes, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
     st_acc[:, d : d + 1] += jnp.sum(pw, axis=1, keepdims=True)
 
