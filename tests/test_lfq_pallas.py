@@ -48,6 +48,56 @@ def test_token_padding():
     np.testing.assert_allclose(float(ent), float(ref), rtol=5e-3)
 
 
+@pytest.mark.parametrize("scale", [1.0, 3.0])
+def test_trained_regime_beta100(scale):
+    """The REAL training regime: beta=100, |x| ~ 1-3 (post-commit-loss).
+
+    The codeword log-prob is the near-total cancellation of two
+    O(beta*sum|x|) terms; at the TPU-default (single-bf16-pass) matmul
+    precision this regime produced entropy = -32478 and gradients with
+    cos(-0.95) against truth, collapsing flagship training at step ~2300
+    (round 4). The fix pins precision=HIGHEST inside every path; this
+    test pins the contract at adversarial scale on whatever backend the
+    suite runs on (gentle-scale tests above cannot catch it).
+    """
+    from open_genie_tpu.ops.lfq import _lfq_avg_entropy_chunked
+
+    n, d, beta = 128, 13, 100.0  # d=13: chunked path streams 2 chunks
+    x = scale * jax.random.normal(KEY, (n, d))
+
+    ent_pallas = lfq_avg_entropy_pallas(x, beta, 1e-6, 32, 4096, True)
+    ent_chunk = _lfq_avg_entropy_chunked(x, beta, 1e-6)
+    ent_ref = _ref_entropy(x, beta)
+
+    # Entropy of a distribution is non-negative, full stop.
+    assert float(ent_ref) >= 0.0
+    assert float(ent_pallas) >= 0.0 and float(ent_chunk) >= 0.0
+    np.testing.assert_allclose(float(ent_pallas), float(ent_ref), rtol=1e-3)
+    np.testing.assert_allclose(float(ent_chunk), float(ent_ref), rtol=1e-3)
+
+    g_pallas = jax.grad(
+        lambda x: lfq_avg_entropy_pallas(x, beta, 1e-6, 32, 4096, True)
+    )(x)
+    g_ref = jax.grad(lambda x: _ref_entropy(x, beta))(x)
+    gp, gr = np.asarray(g_pallas), np.asarray(g_ref)
+    assert np.all(np.isfinite(gp))
+    cos = float((gp * gr).sum() / (np.linalg.norm(gp) * np.linalg.norm(gr) + 1e-30))
+    assert cos > 0.999, f"gradient direction diverged: cos={cos}"
+
+
+def test_quantize_zero_is_not_a_codeword():
+    """sign(0)=0 must never leak into the quantized code: exact zeros
+    (bf16 activations produce them) would otherwise become a commit-loss
+    zero-attractor and disagree with the x>0 index convention."""
+    from open_genie_tpu.ops.lfq import bit_mask, lfq_quantize
+
+    x = jnp.array([[0.0, -0.5, 0.0, 0.25]])
+    code, idxs = lfq_quantize(x, 4, training=False)
+    assert set(np.unique(np.asarray(code))) <= {-1.0, 1.0}
+    ref_idx = int(jnp.sum((x[0] > 0) * bit_mask(4)))
+    assert int(idxs[0]) == ref_idx
+
+
 def test_fused_head_matches_reference():
     """Fused 1x1-conv + LFQ head == matmul + sign + bit-pack."""
     from open_genie_tpu.ops.lfq import bit_mask
