@@ -10,6 +10,7 @@ import os
 import shutil
 import sys
 import time
+from collections.abc import Mapping
 from typing import Optional
 
 import jax
@@ -631,9 +632,39 @@ def _load_subtree_into_genie(
     return state.replace(params=params)
 
 
+def _raw_ckpt_ema_params(restored) -> Optional[dict]:
+    """Locate the parameter-EMA tree inside a raw (template-free) orbax
+    restore of a TrainState: `EmaState` serializes as a dict with a single
+    'ema' key nested in the opt_state chain, whatever the optimizer layout
+    (clip/adamw/multi_transform/MultiSteps) was at train time."""
+    hits = []
+
+    def visit(node):
+        if hits:
+            return
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                if k == "ema":
+                    hits.append(v)
+                    return
+                visit(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                visit(v)
+
+    visit(restored.get("opt_state", {}))
+    return hits[0] if hits else None
+
+
 def _load_tokenizer_into_genie(state: TrainState, ckpt: str) -> TrainState:
     """Copy `model/...` params from a tokenizer checkpoint into
-    `model/tokenizer_/...` of a Genie train state."""
+    `model/tokenizer_/...` of a Genie train state.
+
+    Prefers the checkpoint's parameter EMA when it carries one: the
+    tokenizer is FROZEN inside Genie, and `eval tokenizer --ema` scores the
+    EMA weights -- the dynamics model must learn the token vocabulary of
+    the same weights the tokenizer is judged (and served) with.
+    """
     import flax
     import orbax.checkpoint as ocp
 
@@ -641,7 +672,10 @@ def _load_tokenizer_into_genie(state: TrainState, ckpt: str) -> TrainState:
         step = mgr.latest_step()
         assert step is not None, f"No checkpoint found at {ckpt}"
         restored = mgr.restore(step)
-    tok_params = restored["params"]["model"]
+    ema = _raw_ckpt_ema_params(restored)
+    tok_params = (ema or restored["params"])["model"]
+    print(f"# tokenizer_ckpt {ckpt} step {step}: loading "
+          + ("EMA params" if ema else "raw params (no EMA in checkpoint)"))
 
     params = flax.core.unfreeze(state.params)
     params["model"]["tokenizer_"] = jax.tree.map(

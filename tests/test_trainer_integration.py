@@ -98,6 +98,68 @@ def test_pretrained_tokenizer_flows_into_genie(tmp_path):
         np.testing.assert_array_equal(got[k], want[k])
 
 
+def test_tokenizer_ema_flows_into_genie(tmp_path):
+    """When the tokenizer checkpoint carries a parameter EMA, the frozen
+    tokenizer inside Genie must be the EMA weights -- the ones
+    `eval tokenizer --ema` scores and serving uses -- not the raw last
+    step (the dynamics model must learn that tokenizer's vocabulary)."""
+    from open_genie_tpu.train.config import OptimizerConfig
+    from open_genie_tpu.train.loop import get_ema_params
+
+    tok_cfg = ExperimentConfig(
+        model=TokenizerModelConfig(
+            enc_desc=TOK_ENC, dec_desc=TOK_DEC, d_codebook=4,
+            gan_loss_weight=0.0, perc_loss_weight=0.0,
+            optimizer=OptimizerConfig(lr=1e-2, ema_decay=0.5),
+        ),
+        data=_data_cfg(),
+        trainer=_trainer_cfg(tmp_path, "tok_ema"),
+    )
+    tok_state = train_tokenizer(tok_cfg)
+    ema = jax.device_get(get_ema_params(tok_state.opt_state)["model"])
+    raw = jax.device_get(tok_state.params["model"])
+
+    genie_cfg = ExperimentConfig(
+        model=GenieModelConfig(
+            tokenizer=dict(enc_desc=TOK_ENC, dec_desc=TOK_DEC, d_codebook=4),
+            tokenizer_ckpt=tok_cfg.trainer.ckpt_dir,
+            latent_action=dict(
+                enc_desc=(
+                    ("space-time_attn", {"n_rep": 1, "n_embd": 8, "n_head": 1, "d_head": 8}),
+                ),
+                dec_desc=(
+                    ("space-time_attn", {
+                        "n_rep": 1, "n_embd": 8, "n_head": 1, "d_head": 8,
+                        "has_ext": True, "time_attn_kw": {"key_dim": 2},
+                    }),
+                ),
+                d_codebook=2, n_embd=8, inp_shape=(16, 16),
+            ),
+            dynamics=dict(
+                desc=(("space-time_attn", {"n_rep": 1, "n_embd": 16, "n_head": 2, "d_head": 8}),),
+                embed_dim=16,
+            ),
+        ),
+        data=_data_cfg(),
+        trainer=_trainer_cfg(tmp_path, "genie_ema"),
+    )
+    genie_state = train_genie(genie_cfg)
+
+    got = flax.traverse_util.flatten_dict(
+        jax.device_get(genie_state.params["model"]["tokenizer_"])
+    )
+    want_ema = flax.traverse_util.flatten_dict(ema)
+    want_raw = flax.traverse_util.flatten_dict(raw)
+    assert got.keys() == want_ema.keys()
+    some_leaf_differs = False
+    for k in want_ema:
+        np.testing.assert_array_equal(got[k], want_ema[k])
+        some_leaf_differs |= not np.array_equal(want_ema[k], want_raw[k])
+    # Sanity: with decay=0.5 after one step, EMA != raw, so the equality
+    # above proves the EMA (not raw) tree was loaded.
+    assert some_leaf_differs
+
+
 def test_train_from_gvid_source(tmp_path):
     """Trainer consumes the native .gvid container end-to-end."""
     import numpy as np
