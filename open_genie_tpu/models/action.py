@@ -48,7 +48,7 @@ class LatentAction(nn.Module):
     # Activation checkpointing: the encoder/decoder attend over the full
     # (H*W) grid per frame; without remat their backward residuals OOM HBM
     # at 64x64 training resolution. No effect outside `grad`.
-    remat: bool = True
+    remat: Any = True
 
     def setup(self):
         enc_fact = blueprint_st_factor(self.enc_desc)

@@ -149,7 +149,7 @@ class DynamicsModel(nn.Module):
     # remat is opt-in here: token grids are small (memory is not the
     # constraint) and the KV-cached decode path calls layers with kwargs,
     # which lifted remat does not support.
-    remat: bool = False
+    remat: Any = False
 
     def setup(self):
         self.layers, self.ext_kw = parse_blueprint(self.desc, remat=self.remat)

@@ -65,8 +65,10 @@ class VideoTokenizer(nn.Module):
     lfq_entropy_weight: float = 0.1
     lfq_diversity_weight: float = 1.0
     # Activation checkpointing for the conv/attention stacks (memory lever
-    # for full-resolution training; no effect outside `grad`).
-    remat: bool = True
+    # for full-resolution training; no effect outside `grad`). True/'full'
+    # recomputes everything; 'dots' keeps matmul/conv outputs resident
+    # (throughput trade for HBM-bound train steps); False disables.
+    remat: Any = True
 
     def setup(self):
         self.enc_layers, self.enc_ext = parse_blueprint(

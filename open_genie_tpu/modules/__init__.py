@@ -95,8 +95,39 @@ def _sanitize_kwargs(name: str, kwargs: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+#: remat policy names -> jax.checkpoint policies. 'dots' keeps MXU (matmul/
+#: conv) outputs resident and recomputes only cheap elementwise/norm work in
+#: the backward pass -- the right trade when the step is HBM-bound (storing
+#: a matmul output costs the same HBM write either way; recomputing a
+#: GroupNorm is near-free, recomputing a conv is not).
+_REMAT_POLICIES = {
+    "full": None,  # save nothing, recompute everything (jax default)
+    "dots": "dots_with_no_batch_dims_saveable",
+}
+
+
+def _remat_policy(remat):
+    """Resolve a `remat` config value to `nn.remat` kwargs (or None)."""
+    if not remat:
+        return None
+    if remat is True:
+        return {}
+    import jax
+
+    name = _REMAT_POLICIES.get(str(remat), str(remat))
+    if name is None:
+        return {}
+    policy = getattr(jax.checkpoint_policies, name, None)
+    if policy is None:
+        raise ValueError(
+            f"Unknown remat policy {remat!r}: use True/'full', 'dots', or a "
+            "jax.checkpoint_policies attribute name"
+        )
+    return {"policy": policy}
+
+
 def parse_blueprint(
-    blueprint: Blueprint, named: bool = False, remat: bool = False
+    blueprint: Blueprint, named: bool = False, remat=False
 ) -> Tuple[List[nn.Module], List[bool]]:
     """Expand a blueprint into `(module_instances, has_ext_flags)`.
 
@@ -109,14 +140,18 @@ def parse_blueprint(
     `@nn.compact` context); `named=False` (for `setup`-assigned lists, where
     Flax forbids explicit names) lets Flax autoname them by list position.
 
-    `remat=True` wraps each layer in `nn.remat` (activation checkpointing):
-    backward recomputes the layer instead of storing its intermediates --
-    the memory lever for attention-heavy stacks at full video resolution.
-    Rematted layers must be called positionally as
+    `remat=True` (or `'full'`) wraps each layer in `nn.remat` (activation
+    checkpointing): backward recomputes the layer instead of storing its
+    intermediates -- the memory lever for attention-heavy stacks at full
+    video resolution. `remat='dots'` (or any `jax.checkpoint_policies`
+    attribute name) keeps matmul/conv outputs resident and recomputes only
+    the cheap elementwise work -- the throughput trade for HBM-bound train
+    steps. Rematted layers must be called positionally as
     `layer(x, cond, mask, train)` (mask/train static).
     """
     layers: List[nn.Module] = []
     ext_kw: List[bool] = []
+    remat_kw = _remat_policy(remat)
 
     for li, desc in enumerate(blueprint):
         if isinstance(desc, str):
@@ -127,8 +162,8 @@ def parse_blueprint(
         n_rep = int(kwargs.pop("n_rep", 1))
         kwargs = _sanitize_kwargs(name, kwargs)
         cls = get_module(name)
-        if remat:
-            cls = nn.remat(cls, static_argnums=(3, 4))
+        if remat_kw is not None:
+            cls = nn.remat(cls, static_argnums=(3, 4), **remat_kw)
         for r in range(n_rep):
             if named:
                 kwargs_n = dict(

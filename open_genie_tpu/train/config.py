@@ -172,6 +172,10 @@ class TokenizerModelConfig:
     gan_loss_weight: float = 1.0
     perc_loss_weight: float = 1.0
     quant_loss_weight: float = 1.0
+    # Activation-checkpointing mode for the enc/dec stacks: True/'full'
+    # recomputes everything in backward, 'dots' keeps matmul/conv outputs
+    # resident (throughput trade for HBM-bound steps), False disables.
+    remat: Any = True
 
     def tokenizer_kwargs(self) -> Dict[str, Any]:
         return dict(
@@ -184,6 +188,7 @@ class TokenizerModelConfig:
             lfq_commit_weight=self.lfq_commit_weight,
             lfq_entropy_weight=self.lfq_entropy_weight,
             lfq_diversity_weight=self.lfq_diversity_weight,
+            remat=self.remat,
         )
 
     @classmethod

@@ -135,3 +135,58 @@ def test_forward_block_dense_and_conv3d():
     m3 = ForwardBlock(8, out_dim=12, hid_dim=None, block="conv3d", kernel_size=3)
     params = m3.init(KEY, v)
     assert m3.apply(params, v).shape == (2, 4, 8, 8, 12)
+
+
+def test_parse_blueprint_remat_modes_agree():
+    """remat True/'full'/'dots'/False are pure scheduling choices: the
+    loss AND gradients must be bit-comparable across modes (policy remat
+    keeps matmul outputs resident; it must never change the math)."""
+    import flax.linen as nn
+
+    from open_genie_tpu.modules import parse_blueprint
+
+    bp = (
+        ("causal-conv3d", {"in_channels": 4, "out_channels": 4, "kernel_size": 3}),
+        ("space-time_attn", {"n_rep": 1, "n_embd": 4, "n_head": 1, "d_head": 4}),
+    )
+    x = jax.random.normal(KEY, (1, 2, 4, 4, 4))
+
+    class Stack(nn.Module):
+        remat: object = False
+
+        def setup(self):
+            # setup-assigned list: attribute-based param names, same tree
+            # with or without remat (the product models' pattern).
+            self.layers, _ = parse_blueprint(bp, remat=self.remat)
+
+        def __call__(self, v):
+            for layer in self.layers:
+                v = layer(v, None, None, False)
+            return jnp.mean(v ** 2)
+
+    outs, grads = [], []
+    params0 = None
+    for mode in (False, True, "full", "dots"):
+        m = Stack(remat=mode)
+        params = m.init(KEY, x) if params0 is None else params0
+        params0 = params
+        val, grad = jax.value_and_grad(
+            lambda p: m.apply(p, x)
+        )(params)
+        outs.append(float(val))
+        grads.append(jax.tree.leaves(grad)[0])
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], rtol=1e-6)
+    for g in grads[1:]:
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(grads[0]), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_parse_blueprint_remat_unknown_policy_raises():
+    from open_genie_tpu.modules import parse_blueprint
+
+    with pytest.raises(ValueError, match="remat policy"):
+        parse_blueprint((("causal-conv3d", {
+            "in_channels": 4, "out_channels": 4, "kernel_size": 1,
+        }),), remat="not_a_policy")
