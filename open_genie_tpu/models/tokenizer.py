@@ -396,17 +396,20 @@ class VideoTokenizer(nn.Module):
         video,
         beta: float = 100.0,
         train: bool = False,
+        entropy_scale=1.0,
     ) -> Tuple[jnp.ndarray, dict]:
         """Full forward: encode -> quantize -> decode.
 
         Returns `(rec_video, out)` with `out` carrying `quant`, `idxs`,
         `quant_loss` (None in eval) and LFQ aux metrics. The combined
         training loss (incl. the `tokenizer.py:375` precedence-bug fix) is
-        assembled in `train/losses.py`.
+        assembled in `train/losses.py`. `entropy_scale` (traced scalar ok)
+        multiplies the LFQ entropy objective -- the anneal-to-zero lever
+        (see `ops/lfq.py::lfq_loss`).
         """
         enc = self.encode(video, train=train)
         (quant, idxs), quant_loss, aux = self.quant(
-            enc, beta=beta, training=train
+            enc, beta=beta, training=train, entropy_scale=entropy_scale
         )
         rec = self.decode(quant, train=train)
         return rec, {

@@ -80,6 +80,7 @@ class LookupFreeQuantization(nn.Module):
         x: jnp.ndarray,
         beta: float = 100.0,
         training: bool = False,
+        entropy_scale=1.0,
     ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], Optional[jnp.ndarray], dict]:
         """Quantize `(..., D)` features (channels-last).
 
@@ -102,7 +103,9 @@ class LookupFreeQuantization(nn.Module):
         # Split per codebook: (..., c, d)
         x = x.reshape(*leading, c, d)
         code, idxs = lfq_ops.lfq_quantize(x, d, training=training)
-        quant = jnp.sign(x)
+        # Commit-loss target: where(), not sign() -- sign(0)=0 is outside
+        # {-1,+1}^d and becomes a zero-attractor (see ops/lfq.py).
+        quant = jnp.where(x > 0, 1.0, -1.0).astype(x.dtype)
 
         out = code.reshape(*leading, c * d)
         if self._project:
@@ -123,5 +126,6 @@ class LookupFreeQuantization(nn.Module):
             diversity_weight=self.diversity_weight,
             frac_sample=self.frac_sample,
             num_codebooks=c,
+            entropy_scale=entropy_scale,
         )
         return (out, idxs), loss, aux

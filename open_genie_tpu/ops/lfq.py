@@ -183,6 +183,7 @@ def lfq_loss(
     diversity_weight: float = 1.0,
     frac_sample: float = 1.0,
     num_codebooks: int = 1,
+    entropy_scale=1.0,
 ) -> Tuple[jnp.ndarray, dict]:
     """Full LFQ training loss on `(..., [c,] d)` pre-quantization features.
 
@@ -197,6 +198,17 @@ def lfq_loss(
     *diversity* entropy -- the O(n * 2^d) term -- which the reference
     declares but never implements (`quantization.py:60`, SURVEY 2.11.7).
     The closed-form per-sample entropy is O(n * d) and always exact.
+
+    `entropy_scale` (python float or traced scalar) multiplies the whole
+    entropy objective: the anneal-to-zero lever. The entropy terms exist
+    to ESTABLISH a diverse codebook; once established, usage is held up by
+    the reconstruction gradient, while the diversity reward keeps pushing
+    the encoder toward the saturation cliff where flagship training
+    collapsed to a single code (measured twice on-chip, round 4 -- healthy
+    to ~step 13k, then entropy -> exact 0 within 200 steps). Annealing to
+    0 removes the hazard and frees late training to optimize pure
+    reconstruction. The aux metrics stay UNSCALED so collapse remains
+    visible in logs after the objective is off.
     """
     d = x.shape[-1]
     flat = x.reshape(-1, d)
@@ -221,7 +233,7 @@ def lfq_loss(
         )
     else:
         avg_ent = lfq_avg_entropy(subsample(flat), beta)
-    entropy_loss = sample_ent - diversity_weight * avg_ent
+    entropy_loss = (sample_ent - diversity_weight * avg_ent) * entropy_scale
 
     commit_loss = jnp.mean(
         (x.astype(jnp.float32) - lax.stop_gradient(quant.astype(jnp.float32)))

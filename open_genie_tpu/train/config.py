@@ -159,6 +159,14 @@ class TokenizerModelConfig:
     lfq_commit_weight: float = 0.25
     lfq_entropy_weight: float = 0.1
     lfq_diversity_weight: float = 1.0
+    # Anneal the LFQ entropy objective to zero once the codebook is
+    # established: scale ramps 1 -> 0 linearly over `anneal_steps`
+    # starting at `anneal_start` (None = never anneal). The entropy terms
+    # exist to establish diversity; kept on indefinitely, the diversity
+    # reward pushes the encoder toward logit saturation where the
+    # codebook collapses to one code (observed twice on-chip, round 4).
+    lfq_entropy_anneal_start: Optional[int] = None
+    lfq_entropy_anneal_steps: int = 1000
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     perceptual_model: str = "vgg16"
     perc_feat_layers: Tuple[str, ...] = (

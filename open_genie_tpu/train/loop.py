@@ -179,10 +179,18 @@ def make_train_step(
     gradient all-reduce and TP collectives. `compute_dtype=jnp.bfloat16`
     casts the batch (and thus most activations) to bf16 while params/optim
     stay f32, matching '16-mixed' semantics (`config/tokenize.yaml:78`).
+
+    Callable `loss_kwargs` values are step schedules: evaluated on the
+    (traced) `state.step` inside the jitted step, so e.g. an LFQ
+    entropy-weight anneal costs no recompile.
     """
     loss_kwargs = dict(loss_kwargs or {})
 
     def step_fn(state: TrainState, batch):
+        kw = {
+            k: (v(state.step) if callable(v) else v)
+            for k, v in loss_kwargs.items()
+        }
         key, sub, k_drop = jax.random.split(state.key, 3)
         if compute_dtype is not None:
             batch = _cast_batch(batch, compute_dtype)
@@ -201,7 +209,7 @@ def make_train_step(
                 apply_params = params
             loss, metrics = module.apply(
                 {"params": apply_params}, batch, sub,
-                rngs={"dropout": k_drop}, **loss_kwargs
+                rngs={"dropout": k_drop}, **kw
             )
             return loss.astype(jnp.float32), metrics
 

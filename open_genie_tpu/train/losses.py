@@ -67,15 +67,20 @@ class TokenizerTrainModule(nn.Module):
         beta: float = 100.0,
         train: bool = True,
         gan_branch: str = "both",
+        entropy_scale=1.0,
     ) -> Tuple[jnp.ndarray, dict]:
         """Full training loss on `(B, T, H, W, C)` video in [0, 1].
 
         `gan_branch` in {'both', 'gen', 'dis'} supports alternating GAN
         optimization; 'both' replicates the reference's summed objective.
+        `entropy_scale` (traced scalar ok) multiplies the LFQ entropy
+        objective -- the anneal lever (`ops/lfq.py::lfq_loss`).
         """
         k_perc, k_gan = jax.random.split(key)
 
-        rec, out = self.model(video, beta=beta, train=train)
+        rec, out = self.model(
+            video, beta=beta, train=train, entropy_scale=entropy_scale
+        )
         quant_loss = out["quant_loss"]
 
         rec_loss = jnp.mean((rec - video) ** 2)

@@ -209,6 +209,27 @@ def _compute_dtype(precision: str):
     return jnp.bfloat16 if str(precision).startswith("16") else None
 
 
+def _entropy_anneal_kwargs(mcfg) -> dict:
+    """loss_kwargs for the LFQ entropy anneal (empty dict = no anneal).
+
+    Returns `{"entropy_scale": schedule}` where the schedule maps the
+    traced step to a scale ramping 1 -> 0 linearly over
+    `lfq_entropy_anneal_steps` from `lfq_entropy_anneal_start`.
+    `make_train_step` evaluates callables on `state.step` inside the
+    jitted step, so the anneal costs no recompiles.
+    """
+    start = getattr(mcfg, "lfq_entropy_anneal_start", None)
+    if start is None:
+        return {}
+    ramp = max(int(getattr(mcfg, "lfq_entropy_anneal_steps", 1000)), 1)
+
+    def entropy_scale(step):
+        frac = (jnp.asarray(step, jnp.float32) - float(start)) / float(ramp)
+        return jnp.clip(1.0 - frac, 0.0, 1.0)
+
+    return {"entropy_scale": entropy_scale}
+
+
 def build_tokenizer_module(mcfg: TokenizerModelConfig) -> TokenizerTrainModule:
     """Single source of the tokenizer train-module construction: training,
     eval, and CLI checkpoint templates must produce identical param trees
@@ -361,6 +382,7 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         state, start_step = restore_checkpoint(tcfg.ckpt_dir, state)
 
     state = shard_state(state, mesh)
+    loss_kwargs = _entropy_anneal_kwargs(mcfg)
     if tcfg.gan_alternate and mcfg.gan_loss_weight > 0:
         # Alternating G/D optimization: even steps train the generator
         # branch, odd steps the discriminator branch (a config switch over
@@ -368,12 +390,12 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         step_gen = make_train_step(
             module, optimizer, mesh=mesh,
             compute_dtype=_compute_dtype(tcfg.precision),
-            loss_kwargs={"gan_branch": "gen"},
+            loss_kwargs={"gan_branch": "gen", **loss_kwargs},
         )
         step_dis = make_train_step(
             module, optimizer, mesh=mesh,
             compute_dtype=_compute_dtype(tcfg.precision),
-            loss_kwargs={"gan_branch": "dis"},
+            loss_kwargs={"gan_branch": "dis", **loss_kwargs},
         )
         counter = {"i": 0}
 
@@ -385,6 +407,7 @@ def train_tokenizer(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         step_fn = make_train_step(
             module, optimizer, mesh=mesh,
             compute_dtype=_compute_dtype(tcfg.precision),
+            loss_kwargs=loss_kwargs,
         )
     val_loader = val_fn = None
     if tcfg.val_check_interval:

@@ -506,3 +506,54 @@ def test_train_action_standalone_and_genie_warm_start(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_entropy_anneal_schedule_and_step_plumbing(tok_state):
+    """The LFQ entropy anneal (round-4 collapse fix): the config-derived
+    schedule ramps 1 -> 0, and `make_train_step` evaluates callable
+    loss_kwargs on the traced `state.step` -- scale 0 must kill the
+    entropy terms (quant_loss == commit-only) with no recompile knob."""
+    from open_genie_tpu.train.trainer import _entropy_anneal_kwargs
+
+    class MCfg:
+        lfq_entropy_anneal_start = 100
+        lfq_entropy_anneal_steps = 50
+
+    kw = _entropy_anneal_kwargs(MCfg())
+    sched = kw["entropy_scale"]
+    assert float(sched(0)) == 1.0
+    assert float(sched(100)) == 1.0
+    assert abs(float(sched(125)) - 0.5) < 1e-6
+    assert float(sched(150)) == 0.0
+    assert float(sched(10_000)) == 0.0
+
+    class NoAnneal:
+        lfq_entropy_anneal_start = None
+
+    assert _entropy_anneal_kwargs(NoAnneal()) == {}
+
+    module, opt, state = tok_state
+    batch = jax.random.uniform(KEY, (B, T, H, W, 3))
+
+    # Schedule that is 0 from step 0: entropy objective must vanish.
+    step_off = make_train_step(
+        module, opt, loss_kwargs={"entropy_scale": lambda s: jnp.float32(0.0)}
+    )
+    _, m_off = step_off(jax.tree.map(jnp.array, state), batch)
+    # Constant 1.0 (default): entropy objective present.
+    step_on = make_train_step(module, opt)
+    _, m_on = step_on(jax.tree.map(jnp.array, state), batch)
+
+    # Aux entropy metrics stay UNSCALED (collapse stays visible in logs).
+    assert float(m_off["lfq_avg_entropy"]) > 0.0
+    np.testing.assert_allclose(
+        float(m_off["lfq_avg_entropy"]), float(m_on["lfq_avg_entropy"]),
+        rtol=1e-5,
+    )
+    # With scale 0 the quant loss is commit-only (>= 0); with scale 1 the
+    # diversity reward makes it strictly smaller.
+    np.testing.assert_allclose(
+        float(m_off["quant_loss"]), 0.25 * float(m_off["lfq_commit_loss"]),
+        rtol=1e-4,
+    )
+    assert float(m_on["quant_loss"]) < float(m_off["quant_loss"])
