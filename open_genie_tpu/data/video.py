@@ -145,16 +145,21 @@ class SyntheticVideo(VideoDataset):
         rng = np.random.default_rng(self.seed * 100003 + idx)
         t, h, w = self.num_frames, self.h, self.w
 
-        # Scrolling sinusoidal background.
+        # Scrolling sinusoidal background. The RGB tint is drawn ONCE per
+        # clip: a per-frame draw here strobes the global hue every frame,
+        # which is temporally-irreducible noise no time-factored tokenizer
+        # can represent (it capped flagship reconstruction at ~17 dB PSNR;
+        # see PARITY.md round-4 notes and tools/r04_diagnose_decoder.py).
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
         phase = rng.uniform(0, 2 * np.pi)
         speed = rng.uniform(0.5, 2.0)
+        tint = rng.uniform(0.5, 1.0, size=3)
         video = np.zeros((t, h, w, 3), np.float32)
         for ft in range(t):
             bg = 0.25 + 0.15 * np.sin(
                 2 * np.pi * (xx / w * 2 + ft * speed / t) + phase
             )
-            video[ft] = bg[..., None] * rng.uniform(0.5, 1.0, size=3)
+            video[ft] = bg[..., None] * tint
 
         # Bouncing sprites.
         for _ in range(self.num_sprites):

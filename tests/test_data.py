@@ -48,6 +48,23 @@ def test_platformer2d_loads_slices(mp4_tree):
     assert video.min() >= 0.0 and video.max() <= 1.0
 
 
+def test_synthetic_video_tint_is_temporally_coherent():
+    """The clip's global RGB tint must be constant across frames.
+
+    Regression for the round-4 flagship plateau: a per-frame tint draw
+    strobes the global hue, which a time-factored tokenizer cannot encode
+    (irreducible ~17 dB PSNR wall). With no sprites the per-frame mean
+    color tracks tint alone (the scrolling sinusoid's spatial mean is
+    time-invariant), so its std over time must be ~0.
+    """
+    ds = SyntheticVideo(num_videos=2, num_frames=12, height=32, width=32,
+                        num_sprites=0)
+    for i in range(2):
+        video = ds[i]
+        frame_means = video.mean(axis=(1, 2))  # (T, 3)
+        assert frame_means.std(axis=0).max() < 1e-3
+
+
 def test_platformer2d_padding_modes(mp4_tree):
     for mode, expect_t in (("repeat", 20), ("zero", 20), ("none", 10)):
         ds = Platformer2D(
