@@ -44,6 +44,7 @@ class LatentAction(nn.Module):
     lfq_commit_weight: float = 0.25
     lfq_entropy_weight: float = 0.1
     lfq_diversity_weight: float = 1.0
+    lfq_bit_balance_weight: float = 0.0
     quant_loss_weight: float = 1.0
     # Activation checkpointing: the encoder/decoder attend over the full
     # (H*W) grid per frame; without remat their backward residuals OOM HBM
@@ -84,6 +85,7 @@ class LatentAction(nn.Module):
             commit_weight=self.lfq_commit_weight,
             entropy_weight=self.lfq_entropy_weight,
             diversity_weight=self.lfq_diversity_weight,
+            bit_balance_weight=self.lfq_bit_balance_weight,
         )
 
     def sample(self, idxs: jnp.ndarray) -> jnp.ndarray:

@@ -64,6 +64,7 @@ class VideoTokenizer(nn.Module):
     lfq_commit_weight: float = 0.25
     lfq_entropy_weight: float = 0.1
     lfq_diversity_weight: float = 1.0
+    lfq_bit_balance_weight: float = 0.0
     # Activation checkpointing for the conv/attention stacks (memory lever
     # for full-resolution training; no effect outside `grad`). True/'full'
     # recomputes everything; 'dots' keeps matmul/conv outputs resident
@@ -93,6 +94,7 @@ class VideoTokenizer(nn.Module):
             commit_weight=self.lfq_commit_weight,
             entropy_weight=self.lfq_entropy_weight,
             diversity_weight=self.lfq_diversity_weight,
+            bit_balance_weight=self.lfq_bit_balance_weight,
         )
 
     def encode(self, video, cond=None, train: bool = False):

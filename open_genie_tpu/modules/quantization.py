@@ -40,6 +40,11 @@ class LookupFreeQuantization(nn.Module):
     commit_weight: float = 0.25
     entropy_weight: float = 0.1
     diversity_weight: float = 1.0
+    # Scale-adaptive per-bit balance + decorrelation regularizer
+    # (`ops/lfq.py::lfq_bit_balance_loss`) -- the saturation-proof
+    # anti-collapse objective; set `entropy_weight: 0` alongside it to skip
+    # the (gradient-dead at beta=100) 2^d diversity sweep.
+    bit_balance_weight: float = 0.0
 
     @property
     def codebook_size(self) -> int:
@@ -127,5 +132,6 @@ class LookupFreeQuantization(nn.Module):
             frac_sample=self.frac_sample,
             num_codebooks=c,
             entropy_scale=entropy_scale,
+            bit_balance_weight=self.bit_balance_weight,
         )
         return (out, idxs), loss, aux

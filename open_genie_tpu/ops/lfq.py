@@ -174,6 +174,61 @@ def _lfq_avg_entropy_chunked(
     return jnp.sum(ents)
 
 
+def lfq_bit_entropy(x: jnp.ndarray) -> jnp.ndarray:
+    """Factorized codebook-usage monitor: `sum_b H(mean(x_b > 0))` in nats.
+
+    The hard positive-bit rates give an O(d) *upper bound* on the entropy of
+    the empirical code distribution (equality iff bits are independent).
+    Max = d*ln2. A collapapsed codebook reads ~0. Metric only (no gradient:
+    the rates are step functions of `x`).
+    """
+    p = jnp.mean((x.reshape(-1, x.shape[-1]) > 0).astype(jnp.float32), axis=0)
+    p = jnp.clip(p, 1e-6, 1.0 - 1e-6)
+    return -jnp.sum(p * jnp.log(p) + (1.0 - p) * jnp.log1p(-p))
+
+
+def lfq_bit_balance_loss(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Scale-adaptive per-bit balance + decorrelation regularizer (scalar).
+
+    The round-4 flagship anti-collapse objective. The reference's entropy
+    objective (`quantization.py:113-125`) is computed at `beta=100`, where
+    every sample's codeword softmax is one-hot: its gradient is numerically
+    zero at the trained feature scale, so it can neither prevent nor undo a
+    codebook collapse -- measured three times on-chip (PARITY.md round 4):
+    healthy diversity for thousands of steps, then every token flips to one
+    code within ~200 steps and the state is absorbing.
+
+    This term replaces it with two always-live penalties on `y = tanh(x /
+    rms(x))` (the global-RMS normalization makes it invariant to the feature
+    scale, so it never saturates no matter where training drives `|x|`):
+
+      * balance: `mean_b (mean_n y)^2` -- every bit 50/50 across the batch.
+      * decorrelation: mean squared off-diagonal correlation of `y` --
+        balanced bits that co-flip span 2 codes, not 2^d; pushing pairwise
+        correlations to 0 pushes the factorized usage bound
+        (`lfq_bit_entropy`) toward tightness.
+
+    Balanced + pairwise-decorrelated bits give empirical code entropy close
+    to `d*ln2`; in a collapsed state the balance gradient is large and
+    restoring (tanh of an RMS-normalized constant pattern is +-0.76 per bit,
+    nowhere near the flat tails).
+    """
+    d = x.shape[-1]
+    flat = x.reshape(-1, d).astype(jnp.float32)
+    n = flat.shape[0]
+    rms = jnp.sqrt(jnp.mean(flat * flat) + eps)
+    y = jnp.tanh(flat / rms)
+    mean_b = jnp.mean(y, axis=0)  # (d,)
+    balance = jnp.mean(mean_b**2)
+    yc = y - mean_b
+    cov = jnp.matmul(yc.T, yc, precision=lax.Precision.HIGHEST) / n
+    var = jnp.diagonal(cov)
+    corr = cov / jnp.sqrt(var[:, None] * var[None, :] + eps)
+    off = corr - jnp.diag(jnp.diagonal(corr))
+    decorr = jnp.sum(off**2) / (d * max(d - 1, 1))
+    return balance + decorr
+
+
 def lfq_loss(
     x: jnp.ndarray,
     quant: jnp.ndarray,
@@ -184,6 +239,7 @@ def lfq_loss(
     frac_sample: float = 1.0,
     num_codebooks: int = 1,
     entropy_scale=1.0,
+    bit_balance_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, dict]:
     """Full LFQ training loss on `(..., [c,] d)` pre-quantization features.
 
@@ -223,27 +279,41 @@ def lfq_loss(
         stride = max(1, n // k)
         return v[::stride][:k]
 
-    if num_codebooks > 1:
-        per_cb = x.reshape(-1, num_codebooks, d)
-        avg_ent = jnp.mean(
-            jnp.stack([
-                lfq_avg_entropy(subsample(per_cb[:, c]), beta)
-                for c in range(num_codebooks)
-            ])
-        )
-    else:
-        avg_ent = lfq_avg_entropy(subsample(flat), beta)
-    entropy_loss = (sample_ent - diversity_weight * avg_ent) * entropy_scale
-
     commit_loss = jnp.mean(
         (x.astype(jnp.float32) - lax.stop_gradient(quant.astype(jnp.float32)))
         ** 2
     )
-
-    loss = entropy_weight * entropy_loss + commit_weight * commit_loss
+    loss = commit_weight * commit_loss
     aux = {
         "sample_entropy": sample_ent,
-        "avg_entropy": avg_ent,
         "commit_loss": commit_loss,
+        # Always-on O(d) collapse monitor (factorized usage bound, nats).
+        "bit_entropy": lfq_bit_entropy(flat),
     }
+
+    # `entropy_weight == 0.0` (a static python float in every config path)
+    # skips the diversity-entropy sweep entirely -- at d=18 that is a
+    # 262144-codeword pass per step, the hottest non-conv op in tokenizer
+    # training, and its gradient is numerically dead at beta=100 anyway
+    # (see lfq_bit_balance_loss).
+    if entropy_weight != 0.0:
+        if num_codebooks > 1:
+            per_cb = x.reshape(-1, num_codebooks, d)
+            avg_ent = jnp.mean(
+                jnp.stack([
+                    lfq_avg_entropy(subsample(per_cb[:, c]), beta)
+                    for c in range(num_codebooks)
+                ])
+            )
+        else:
+            avg_ent = lfq_avg_entropy(subsample(flat), beta)
+        entropy_loss = (sample_ent - diversity_weight * avg_ent) * entropy_scale
+        loss = loss + entropy_weight * entropy_loss
+        aux["avg_entropy"] = avg_ent
+
+    if bit_balance_weight != 0.0:
+        bal = lfq_bit_balance_loss(flat)
+        loss = loss + bit_balance_weight * bal
+        aux["bit_balance"] = bal
+
     return loss, aux

@@ -159,6 +159,12 @@ class TokenizerModelConfig:
     lfq_commit_weight: float = 0.25
     lfq_entropy_weight: float = 0.1
     lfq_diversity_weight: float = 1.0
+    # Saturation-proof anti-collapse regularizer (per-bit balance +
+    # decorrelation, `ops/lfq.py::lfq_bit_balance_loss`). The flagship
+    # recipe sets this >0 with `lfq_entropy_weight: 0`: the reference's
+    # entropy objective has a numerically dead gradient at beta=100, which
+    # let the codebook collapse mid-run three times on-chip (PARITY.md).
+    lfq_bit_balance_weight: float = 0.0
     # Anneal the LFQ entropy objective to zero once the codebook is
     # established: scale ramps 1 -> 0 linearly over `anneal_steps`
     # starting at `anneal_start` (None = never anneal). The entropy terms
@@ -196,6 +202,7 @@ class TokenizerModelConfig:
             lfq_commit_weight=self.lfq_commit_weight,
             lfq_entropy_weight=self.lfq_entropy_weight,
             lfq_diversity_weight=self.lfq_diversity_weight,
+            lfq_bit_balance_weight=self.lfq_bit_balance_weight,
             remat=self.remat,
         )
 

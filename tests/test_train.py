@@ -439,6 +439,7 @@ def test_train_action_standalone_and_genie_warm_start(tmp_path):
         "trainer": {"max_steps": 2, "log_every_n_steps": 1,
                     "val_check_interval": 0, "n_data": 1,
                     "ckpt_dir": str(tmp_path / "act"),
+                    "log_dir": str(tmp_path / "act_logs"),
                     "ckpt_every_n_steps": 2},
     }
     p = tmp_path / "act.yaml"
@@ -479,6 +480,7 @@ def test_train_action_standalone_and_genie_warm_start(tmp_path):
         "trainer": {"max_steps": 1, "log_every_n_steps": 1,
                     "val_check_interval": 0, "n_data": 1,
                     "ckpt_dir": str(tmp_path / "genie"),
+                    "log_dir": str(tmp_path / "genie_logs"),
                     "ckpt_every_n_steps": 1},
     }
     p2 = tmp_path / "genie.yaml"
