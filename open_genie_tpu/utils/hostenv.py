@@ -50,6 +50,18 @@ def scrubbed_cpu_env(
     ).strip()
     if n_devices is not None:
         flags = (flags + f" --xla_force_host_platform_device_count={n_devices}").strip()
+    # XLA-CPU collectives default to a 40s rendezvous *termination* timeout
+    # (the process aborts). With n virtual devices time-slicing ONE physical
+    # core, device threads between collectives get scheduled tens of seconds
+    # apart on large programs (the flagship dryrun's 2^18-vocab head), so a
+    # straggler crossing 40s kills the run. These are liveness watchdogs,
+    # not correctness bounds -- give them headroom.
+    if "collective_call_terminate_timeout" not in flags:
+        flags = (
+            flags
+            + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+            + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
+        ).strip()
     env["XLA_FLAGS"] = flags
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
         repo_root, "tests", ".jax_cache"
