@@ -179,8 +179,10 @@ def lfq_bit_entropy(x: jnp.ndarray) -> jnp.ndarray:
 
     The hard positive-bit rates give an O(d) *upper bound* on the entropy of
     the empirical code distribution (equality iff bits are independent).
-    Max = d*ln2. A collapapsed codebook reads ~0. Metric only (no gradient:
-    the rates are step functions of `x`).
+    Max = d*ln2. A collapsed codebook reads ~0. Metric only (no gradient:
+    the rates are step functions of `x`). With multiple codebooks, call per
+    sub-codebook and average (see `lfq_loss`): pooling codebooks as samples
+    hides opposite per-codebook collapses that cancel in the pooled rates.
     """
     p = jnp.mean((x.reshape(-1, x.shape[-1]) > 0).astype(jnp.float32), axis=0)
     p = jnp.clip(p, 1e-6, 1.0 - 1e-6)
@@ -269,6 +271,18 @@ def lfq_loss(
     d = x.shape[-1]
     flat = x.reshape(-1, d)
 
+    def per_codebook_mean(fn):
+        # With num_codebooks > 1, pooling codebooks as samples is blind to
+        # opposite per-codebook imbalances (codebook A stuck at +1 and B at
+        # -1 on the same bit reads as balanced); mirror the diversity-entropy
+        # branch and average the statistic over sub-codebooks instead.
+        if num_codebooks <= 1:
+            return fn(flat)
+        per_cb = x.reshape(-1, num_codebooks, d)
+        return jnp.mean(
+            jnp.stack([fn(per_cb[:, c]) for c in range(num_codebooks)])
+        )
+
     sample_ent = lfq_sample_entropy(flat, beta)
 
     def subsample(v):
@@ -288,7 +302,7 @@ def lfq_loss(
         "sample_entropy": sample_ent,
         "commit_loss": commit_loss,
         # Always-on O(d) collapse monitor (factorized usage bound, nats).
-        "bit_entropy": lfq_bit_entropy(flat),
+        "bit_entropy": per_codebook_mean(lfq_bit_entropy),
     }
 
     # `entropy_weight == 0.0` (a static python float in every config path)
@@ -312,7 +326,7 @@ def lfq_loss(
         aux["avg_entropy"] = avg_ent
 
     if bit_balance_weight != 0.0:
-        bal = lfq_bit_balance_loss(flat)
+        bal = per_codebook_mean(lfq_bit_balance_loss)
         loss = loss + bit_balance_weight * bal
         aux["bit_balance"] = bal
 
