@@ -696,6 +696,22 @@ def _load_tokenizer_into_genie(state: TrainState, ckpt: str) -> TrainState:
         assert step is not None, f"No checkpoint found at {ckpt}"
         restored = mgr.restore(step)
     ema = _raw_ckpt_ema_params(restored)
+    if ema is not None:
+        # Validate the depth-first 'ema' hit before trusting it: a future
+        # optimizer state could nest an unrelated dict key named 'ema'.
+        # The real parameter EMA mirrors the params pytree exactly.
+        want = jax.tree_util.tree_map(np.shape, restored["params"])
+        try:
+            got = jax.tree_util.tree_map(np.shape, ema)
+        except Exception:
+            got = None
+        if got != want:
+            print(
+                f"# WARNING: 'ema' subtree in {ckpt} opt_state does not "
+                "mirror the params tree -- ignoring it and loading raw "
+                "params instead."
+            )
+            ema = None
     tok_params = (ema or restored["params"])["model"]
     print(f"# tokenizer_ckpt {ckpt} step {step}: loading "
           + ("EMA params" if ema else "raw params (no EMA in checkpoint)"))

@@ -56,12 +56,12 @@ def scrubbed_cpu_env(
     # apart on large programs (the flagship dryrun's 2^18-vocab head), so a
     # straggler crossing 40s kills the run. These are liveness watchdogs,
     # not correctness bounds -- give them headroom.
-    if "collective_call_terminate_timeout" not in flags:
-        flags = (
-            flags
-            + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
-            + " --xla_cpu_collective_call_terminate_timeout_seconds=600"
-        ).strip()
+    for flag in (
+        "--xla_cpu_collective_call_warn_stuck_timeout_seconds=120",
+        "--xla_cpu_collective_call_terminate_timeout_seconds=600",
+    ):
+        if flag.split("=")[0] not in flags:
+            flags = (flags + " " + flag).strip()
     env["XLA_FLAGS"] = flags
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
         repo_root, "tests", ".jax_cache"
