@@ -67,8 +67,9 @@ class VideoTokenizer(nn.Module):
     lfq_bit_balance_weight: float = 0.0
     # Activation checkpointing for the conv/attention stacks (memory lever
     # for full-resolution training; no effect outside `grad`). True/'full'
-    # recomputes everything; 'dots' keeps matmul/conv outputs resident
-    # (throughput trade for HBM-bound train steps); False disables.
+    # recomputes everything; 'dots' keeps dot_general (attention/dense)
+    # outputs resident -- convs are still recomputed (the XLA policy only
+    # matches dot_general); False disables.
     remat: Any = True
 
     def setup(self):

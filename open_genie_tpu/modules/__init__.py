@@ -95,11 +95,12 @@ def _sanitize_kwargs(name: str, kwargs: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
-#: remat policy names -> jax.checkpoint policies. 'dots' keeps MXU (matmul/
-#: conv) outputs resident and recomputes only cheap elementwise/norm work in
-#: the backward pass -- the right trade when the step is HBM-bound (storing
-#: a matmul output costs the same HBM write either way; recomputing a
-#: GroupNorm is near-free, recomputing a conv is not).
+#: remat policy names -> jax.checkpoint policies. 'dots' keeps dot_general
+#: (attention/dense) outputs resident and recomputes everything else --
+#: including convs: `dots_with_no_batch_dims_saveable` matches only
+#: dot_general, so conv_general_dilated outputs are still recomputed. For
+#: the conv-heavy MAGVIT2 stack that makes 'dots' close to 'full'; the A/B
+#: in tools/r04_mfu.py measures the actual difference.
 _REMAT_POLICIES = {
     "full": None,  # save nothing, recompute everything (jax default)
     "dots": "dots_with_no_batch_dims_saveable",

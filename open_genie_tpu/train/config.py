@@ -187,8 +187,9 @@ class TokenizerModelConfig:
     perc_loss_weight: float = 1.0
     quant_loss_weight: float = 1.0
     # Activation-checkpointing mode for the enc/dec stacks: True/'full'
-    # recomputes everything in backward, 'dots' keeps matmul/conv outputs
-    # resident (throughput trade for HBM-bound steps), False disables.
+    # recomputes everything in backward, 'dots' keeps dot_general
+    # (attention/dense) outputs resident (convs still recomputed -- the
+    # XLA policy matches only dot_general), False disables.
     remat: Any = True
 
     def tokenizer_kwargs(self) -> Dict[str, Any]:

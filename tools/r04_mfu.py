@@ -6,9 +6,11 @@ and PARITY.md's MFU claim is pinned to a reproducible probe.
 Modes:
   * full  -- nn.remat on every enc/dec layer, save-nothing policy
              (the r03 default): smallest memory, recomputes every conv.
-  * dots  -- checkpoint_policies.dots_with_no_batch_dims_saveable: matmul/
-             conv outputs stay resident, only elementwise/norm recomputed.
-             Candidate fix for the 63% HBM-bound fraction (r03 roofline).
+  * dots  -- checkpoint_policies.dots_with_no_batch_dims_saveable: only
+             dot_general (attention/dense) outputs stay resident; convs are
+             still recomputed (the policy does not match
+             conv_general_dilated). Candidate fix for the 63% HBM-bound
+             fraction (r03 roofline) on the attention-heavy fraction only.
   * off   -- no remat: all residuals stored (may OOM / spill at scale).
 
 Run on the TPU box with NO other TPU process:
