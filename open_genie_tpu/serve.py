@@ -256,6 +256,16 @@ class InteractiveSession:
         when the preallocated horizon fills, the session rebases -- keeps
         the most recent half of the token window, re-prefills fresh
         caches, and keeps playing (sliding-window context)."""
+        return np.asarray(self.step_nosync(action))
+
+    def step_nosync(self, action):
+        """`step` without the host transfer: returns the new frame as a
+        DEVICE array and does not wait for execution. Lets a caller chain
+        many steps back-to-back (async dispatch keeps the device busy) and
+        sync once at the end -- on remote-tunneled TPUs this is how the
+        bench separates device compute time from tunnel round-trip time,
+        and it is the right serving loop when the consumer of the pixels
+        is itself on-device (e.g. an encoder for agent observations)."""
         assert self._buf is not None, "call reset() first"
         if self._t - self._t0 >= self.max_frames:
             self._renew()
@@ -288,7 +298,7 @@ class InteractiveSession:
             ) from exc
         self._t += 1
         self._acts.append(act)
-        return np.asarray(frame)
+        return frame
 
     def _renew(self) -> None:
         """Rebase onto the trailing `self._keep` token frames: positions

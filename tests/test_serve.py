@@ -245,3 +245,27 @@ def test_session_pixel_index_with_time_compressing_tokenizer():
     np.testing.assert_allclose(
         f, np.asarray(want[:, min(t, w) * tf - 1]), atol=1e-5
     )
+
+
+def test_step_nosync_matches_step(genie_and_params):
+    """`step_nosync` is `step` minus the host transfer: two sessions with
+    the same seed/actions must produce identical frames whether pulled
+    eagerly (step) or chained on-device and synced at the end (the bench's
+    device-time disaggregation path, bench.py section_serve)."""
+    model, params = genie_and_params
+    prompt = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(5), (1, 1, H, W, 3))
+    )
+    acts = [1, 3, 0]
+
+    a = InteractiveSession(model, params, max_frames=4, steps_per_frame=SPF)
+    a.reset(prompt, seed=11)
+    eager = [a.step(x) for x in acts]
+
+    b = InteractiveSession(model, params, max_frames=4, steps_per_frame=SPF)
+    b.reset(prompt, seed=11)
+    chained = [b.step_nosync(x) for x in acts]  # no host sync between steps
+
+    for e, c in zip(eager, chained):
+        np.testing.assert_array_equal(e, np.asarray(c))
+    assert b._t == a._t
