@@ -44,11 +44,15 @@ if [ ! -d data/r04/videos/Coinrun/train ]; then
     2>&1 | tee "$LOG/00_data.log"
 fi
 
+# --resume on every train stage: restore_checkpoint() returns (state, 0)
+# when the ckpt_dir is empty, so a first run still starts fresh -- but a
+# rerun after a timeout CONTINUES from the last checkpoint instead of
+# triggering the trainer's stale-checkpoint purge and retraining from 0.
 run_stage 1 7200 01_tok.log \
-  python -m open_genie_tpu.cli train tokenizer --config configs/r05_tokenizer.yaml
+  python -m open_genie_tpu.cli train tokenizer --config configs/r05_tokenizer.yaml --resume
 
 run_stage 2 5400 02_genie.log \
-  python -m open_genie_tpu.cli train genie --config configs/r05_genie.yaml
+  python -m open_genie_tpu.cli train genie --config configs/r05_genie.yaml --resume
 
 run_stage 3 2400 03_shards.log \
   python -m open_genie_tpu.cli tokenize-data \
@@ -56,7 +60,7 @@ run_stage 3 2400 03_shards.log \
     --out data/r05/tokens
 
 run_stage 4 5400 04_dyn.log \
-  python -m open_genie_tpu.cli train dynamics --config configs/r05_dynamics.yaml
+  python -m open_genie_tpu.cli train dynamics --config configs/r05_dynamics.yaml --resume
 
 if [ "$START" -le 5 ]; then
   stage "5: derive warm-start config"
@@ -78,7 +82,7 @@ PY
 fi
 
 run_stage 5 3600 05_final.log \
-  python -m open_genie_tpu.cli train genie --config configs/r05_genie_final.yaml
+  python -m open_genie_tpu.cli train genie --config configs/r05_genie_final.yaml --resume
 
 run_stage 6 2400 eval_tok.log \
   python -m open_genie_tpu.cli eval tokenizer \
