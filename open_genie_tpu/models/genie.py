@@ -137,9 +137,23 @@ class Genie(nn.Module):
     # ------------------------------------------------------------------ #
 
     def tokenize_prompt(self, prompt: jnp.ndarray) -> jnp.ndarray:
-        """Prompt (image `(B,H,W,C)` or video `(B,T,H,W,C)`) -> token grid."""
+        """Prompt (image `(B,H,W,C)` or video `(B,T,H,W,C)`) -> token grid.
+
+        Prompts shorter than the tokenizer's temporal downsampling factor
+        (a 1-frame image prompt into the 4x time-compressing MAGVIT2
+        especially) are edge-padded at the FRONT by repeating the first
+        frame -- the natural lift of an image prompt to a static clip; the
+        newest real frames keep their positions next to the causal
+        boundary. The reference never hits this (it only ran
+        time-preserving tokenizers, `genie.py:65-105`)."""
         if prompt.ndim == 4:
             prompt = prompt[:, None]
+        t_down = self.tokenizer_.temporal_downsampling
+        if prompt.shape[1] < t_down:
+            pad = jnp.repeat(
+                prompt[:, :1], t_down - prompt.shape[1], axis=1
+            )
+            prompt = jnp.concatenate([pad, prompt], axis=1)
         _, idxs = self.tokenizer_.tokenize(prompt)
         assert idxs.shape[1] >= 1, (
             f"prompt of {prompt.shape[1]} frame(s) tokenizes to zero token "

@@ -118,6 +118,16 @@ class VideoTokenizer(nn.Module):
     def quantize(self, enc_video, beta: float = 100.0, training: bool = False):
         return self.quant(enc_video, beta=beta, training=training)
 
+    @property
+    def temporal_downsampling(self) -> int:
+        """Input frames consumed per token frame (e.g. 4 for MAGVIT2's two
+        time_factor=2 stages). The minimum prompt length that tokenizes to
+        at least one token frame; `Genie.tokenize_prompt` edge-pads shorter
+        prompts (image prompts especially) up to this."""
+        from open_genie_tpu.modules import blueprint_time_factor
+
+        return max(1, int(round(1.0 / blueprint_time_factor(self.enc_desc))))
+
     def head_fusable(self) -> bool:
         """Static check for the fused tokenize head: the encoder must end
         in a pure 1x1x1 stride-1 `causal-conv3d` (a matmul -- causality is

@@ -213,6 +213,18 @@ class BlueprintStack(nn.Module):
 
 def blueprint_st_factor(blueprint: Blueprint) -> float:
     """Space-time factor of a blueprint without instantiating parameters."""
+    return _blueprint_factor(blueprint, "st_factor")
+
+
+def blueprint_time_factor(blueprint: Blueprint) -> float:
+    """Time-axis length factor of a blueprint (e.g. 0.25 for a 4x
+    time-compressing encoder) without instantiating parameters. Consumed
+    by `VideoTokenizer.temporal_downsampling`, which sets the minimum
+    prompt length a time-compressing tokenizer can tokenize."""
+    return _blueprint_factor(blueprint, "t_factor")
+
+
+def _blueprint_factor(blueprint: Blueprint, attr: str) -> float:
     fact = 1.0
     for desc in blueprint:
         if isinstance(desc, str):
@@ -221,8 +233,12 @@ def blueprint_st_factor(blueprint: Blueprint) -> float:
         kwargs = {k: v for k, v in dict(kwargs).items() if k not in ("has_ext",)}
         n_rep = int(kwargs.pop("n_rep", 1))
         cls = get_module(name)
-        if not hasattr(cls, "st_factor"):
+        if not hasattr(cls, attr):
             continue
-        mod = cls(**_sanitize_kwargs(name, kwargs))
-        fact *= mod.st_factor ** n_rep
+        # parent=None keeps the throwaway instance out of any enclosing
+        # flax module context (this helper is called from module methods,
+        # e.g. Genie.tokenize_prompt, where bare instantiation would raise
+        # AssignSubModuleError).
+        mod = cls(parent=None, **_sanitize_kwargs(name, kwargs))
+        fact *= getattr(mod, attr) ** n_rep
     return fact

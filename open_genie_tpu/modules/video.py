@@ -79,6 +79,12 @@ class CausalConv3d(nn.Module):
         dt, _, _ = cast_tuple(self.dilation, 3)
         return causal_time_pad(kt, st, dt)
 
+    @property
+    def t_factor(self) -> float:
+        """Time-axis length scaling (T -> floor(T / stride_t))."""
+        st, _, _ = cast_tuple(self.stride, 3)
+        return 1.0 / st
+
     @nn.compact
     def __call__(self, x, cond=None, mask=None, train: bool = False,
                  cache=None):
@@ -160,6 +166,12 @@ class CausalConvTranspose3d(nn.Module):
     def out_dim(self) -> int:
         return self.out_channels
 
+    @property
+    def t_factor(self) -> float:
+        """Time-axis length scaling (T -> T * stride_t)."""
+        st, _, _ = cast_tuple(self.stride, 3)
+        return float(st)
+
     @nn.compact
     def __call__(self, x, cond=None, mask=None, train: bool = False):
         kt, kh, kw = cast_tuple(self.kernel_size, 3)
@@ -193,6 +205,10 @@ class DepthToSpaceUpsample(nn.Module):
     def st_factor(self) -> float:
         return float(self.factor ** 2)
 
+    @property
+    def t_factor(self) -> float:
+        return 1.0  # space-only
+
     @nn.compact
     def __call__(self, x, cond=None, mask=None, train: bool = False):
         out_ch = default(self.out_channels, self.in_channels)
@@ -210,6 +226,10 @@ class DepthToTimeUpsample(nn.Module):
 
     @property
     def st_factor(self) -> float:
+        return float(self.factor)
+
+    @property
+    def t_factor(self) -> float:
         return float(self.factor)
 
     @nn.compact
@@ -235,6 +255,10 @@ class DepthToSpaceTimeUpsample(nn.Module):
     @property
     def st_factor(self) -> float:
         return float(self.time_factor * self.space_factor ** 2)
+
+    @property
+    def t_factor(self) -> float:
+        return float(self.time_factor)
 
     def stream_state_len(self) -> int:
         kt, _, _ = cast_tuple(self.kernel_size, 3)
@@ -279,6 +303,10 @@ class SpaceTimeUpsample(nn.Module):
     def st_factor(self) -> float:
         return float(self.time_factor * self.space_factor ** 2)
 
+    @property
+    def t_factor(self) -> float:
+        return float(self.time_factor)
+
     @nn.compact
     def __call__(self, x, cond=None, mask=None, train: bool = False):
         out_ch = default(self.out_channels, self.in_channels)
@@ -306,6 +334,10 @@ class SpaceTimeDownsample(nn.Module):
         # Reciprocal so that enc * dec st_factor products cancel to 1.
         return 1.0 / (self.time_factor * self.space_factor ** 2)
 
+    @property
+    def t_factor(self) -> float:
+        return 1.0 / self.time_factor
+
     @nn.compact
     def __call__(self, x, cond=None, mask=None, train: bool = False):
         return CausalConv3d(
@@ -331,6 +363,10 @@ class BlurPooling3d(nn.Module):
     time_factor: int = 2
     space_factor: Union[int, Tuple[int, int]] = 2
     num_groups: int = 1
+
+    @property
+    def t_factor(self) -> float:
+        return 1.0 / self.time_factor
 
     def __call__(self, x, cond=None, mask=None, train: bool = False):
         return blur_pool_3d(

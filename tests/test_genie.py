@@ -95,6 +95,59 @@ def test_rollout_tokens_fixed_shape_jit(genie_and_params):
     assert int(out.max()) < 2 ** 6
 
 
+def test_image_prompt_into_time_compressing_tokenizer():
+    """A 1-frame (image) prompt must work with a time-compressing
+    tokenizer: `tokenize_prompt` edge-pads the prompt up to the temporal
+    downsampling factor instead of tokenizing to zero token frames (the
+    flagship MAGVIT2 compresses time 4x; the round-4 eval hook and the
+    `generate`/`play` CLIs all feed 1-frame prompts)."""
+    cfg = {**CFG, "tokenizer": dict(
+        enc_desc=(
+            ("spacetime_downsample", {
+                "in_channels": 3, "kernel_size": 3, "out_channels": 16,
+                "time_factor": 2, "space_factor": 4,
+            }),
+            ("causal-conv3d", {"in_channels": 16, "out_channels": 6, "kernel_size": 1}),
+        ),
+        dec_desc=(
+            ("causal-conv3d", {"in_channels": 6, "out_channels": 16, "kernel_size": 3}),
+            ("depth2spacetime_upsample", {
+                "in_channels": 16, "out_channels": 3, "kernel_size": 3,
+                "time_factor": 2, "space_factor": 4,
+            }),
+        ),
+        d_codebook=6,
+    )}
+    model = Genie(**cfg)
+    assert model.tokenizer["enc_desc"][0][1]["time_factor"] == 2
+    video = jnp.zeros((1, T, H, W, 3))
+    params = model.init(KEY, video, KEY, method=model.init_full)
+
+    # Padding happens inside tokenize_prompt: image -> 1 token frame.
+    tokens = model.apply(
+        params, jax.random.uniform(KEY, (1, H, W, 3)),
+        method=model.tokenize_prompt,
+    )
+    assert tokens.shape[1] == 1
+
+    # Full generate path: 1 prompt token frame + 2 generated, decoded back
+    # through the 2x time upsampler -> 6 pixel frames.
+    out = model.apply(
+        params, jax.random.uniform(KEY, (1, H, W, 3)),
+        jnp.zeros((1, 3), jnp.int32), jax.random.PRNGKey(2),
+        num_frames=2, steps_per_frame=2,
+    )
+    assert out.shape == (1, 6, H, W, 3)
+
+    # An image prompt equals the same image repeated t_down times.
+    tokens_rep = model.apply(
+        params,
+        jnp.repeat(jax.random.uniform(KEY, (1, H, W, 3))[:, None], 2, axis=1),
+        method=model.tokenize_prompt,
+    )
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(tokens_rep))
+
+
 def test_rollout_uses_actions(genie_and_params):
     """Different action sequences must lead to different generations."""
     model, params = genie_and_params
