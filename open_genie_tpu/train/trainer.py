@@ -946,6 +946,18 @@ def make_eval_video_hook(module, tcfg, size: int = 64, num_frames: int = 8):
     neutral equivalent)."""
     import numpy as np
 
+    # One jitted program reused across hook invocations: eager dispatch of
+    # the whole generate path over the TPU tunnel is pathologically slow
+    # (CLAUDE.md), and the per-step keys/params are arguments so the
+    # compile happens once.
+    @jax.jit
+    def _gen(params, prompt, actions, key):
+        return module.apply(
+            {"params": params}, prompt, actions, key,
+            num_frames=num_frames, steps_per_frame=8,
+            method=module.generate,
+        )
+
     def hook(state, step):
         try:
             from open_genie_tpu.data.video import HAS_CV2, write_mp4
@@ -955,11 +967,7 @@ def make_eval_video_hook(module, tcfg, size: int = 64, num_frames: int = 8):
             key = jax.random.PRNGKey(step)
             prompt = jax.random.uniform(key, (1, 1, size, size, 3))
             actions = jax.random.randint(key, (1, num_frames + 1), 0, 2)
-            video = module.apply(
-                {"params": state.params}, prompt, actions, key,
-                num_frames=num_frames, steps_per_frame=8,
-                method=module.generate,
-            )
+            video = _gen(state.params, prompt, actions, key)
             out = np.asarray(jnp.clip(video[0], 0, 1))
             os.makedirs(tcfg.log_dir, exist_ok=True)
             write_mp4(

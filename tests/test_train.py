@@ -1,6 +1,8 @@
 """Train-step tests: tokenizer objective end-to-end, VGG freezing, Genie
 joint loss, data pipeline, and multi-device mesh sharding on the virtual
 8-CPU platform (what the reference never tests, SURVEY.md section 4)."""
+import os
+
 import flax
 import jax
 import jax.numpy as jnp
@@ -371,6 +373,54 @@ def test_schedule_rejects_decay_not_past_warmup():
     ok = OptimizerConfig(lr_schedule="linear", warmup_steps=10, decay_steps=20)
     sched = ok.schedule()
     assert float(sched(10)) == pytest.approx(ok.lr)
+
+
+def test_eval_video_hook_time_compressing_tokenizer(tmp_path, capsys):
+    """The sample-video eval hook must produce an mp4 even when the
+    tokenizer compresses time (its 1-frame noise prompt is edge-padded by
+    `Genie.tokenize_prompt`); the round-4 flagship runs silently lost every
+    sample to the zero-token-frames assert. Failures are swallowed by
+    design, so assert on the artifact, not just on no-exception."""
+    import pytest
+
+    from open_genie_tpu.data.video import HAS_CV2
+    from open_genie_tpu.train.trainer import make_eval_video_hook
+
+    if not HAS_CV2:
+        pytest.skip("cv2 unavailable")
+
+    tok_tc = dict(
+        TOK,
+        enc_desc=(
+            ("spacetime_downsample", {
+                "in_channels": 3, "kernel_size": 3, "out_channels": 16,
+                "time_factor": 2, "space_factor": 4,
+            }),
+            ("causal-conv3d", {"in_channels": 16, "out_channels": 6, "kernel_size": 1}),
+        ),
+        dec_desc=(
+            ("causal-conv3d", {"in_channels": 6, "out_channels": 16, "kernel_size": 3}),
+            ("depth2spacetime_upsample", {
+                "in_channels": 16, "out_channels": 3, "kernel_size": 3,
+                "time_factor": 2, "space_factor": 4,
+            }),
+        ),
+    )
+    module = GenieTrainModule(genie=dict(GENIE, tokenizer=tok_tc))
+    sample = jnp.zeros((1, T, H, W, 3))
+    opt = make_optimizer(lr=1e-3)
+    state = create_train_state(
+        module, sample, KEY, opt, init_kwargs={"method": module.full_init}
+    )
+
+    class _TCfg:
+        log_dir = str(tmp_path)
+
+    hook = make_eval_video_hook(module, _TCfg, size=H, num_frames=2)
+    hook(state, step=7)
+    assert "sample video failed" not in capsys.readouterr().out
+    out = os.path.join(str(tmp_path), "sample_step7.mp4")
+    assert os.path.exists(out) and os.path.getsize(out) > 0
 
 
 def test_random_vgg_warning_and_snapshot(tmp_path, capsys):
