@@ -236,6 +236,13 @@ class GenieModelConfig:
     # Dynamics model (optionally staged-pretrained via `train dynamics`)
     dynamics: Dict[str, Any] = field(default_factory=dict)
     dynamics_ckpt: Optional[str] = None
+    # Full-genie warm start: restore ALL model params (tokenizer, latent
+    # action, dynamics) from a previous `train genie` checkpoint before the
+    # subtree warm starts above overwrite their pieces. The staged pipeline
+    # needs this so the final joint phase keeps the action codebook the
+    # staged dynamics was trained against, instead of re-learning actions
+    # from scratch against a mismatched conditioning.
+    genie_ckpt: Optional[str] = None
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
 
     @classmethod
@@ -261,6 +268,7 @@ class GenieModelConfig:
             action_ckpt=raw.get("action_ckpt"),
             dynamics=dyn,
             dynamics_ckpt=raw.get("dynamics_ckpt"),
+            genie_ckpt=raw.get("genie_ckpt"),
             optimizer=OptimizerConfig.from_raw(raw.get("optimizer")),
         )
 

@@ -440,6 +440,13 @@ def train_genie(cfg: ExperimentConfig, resume: bool = False) -> TrainState:
         init_kwargs={"method": module.full_init},
     )
 
+    # Full-genie warm start FIRST (a previous `train genie` checkpoint:
+    # tokenizer + latent action + dynamics together), so the staged final
+    # phase keeps the action codebook its shard-trained dynamics was
+    # conditioned on; the subtree loaders below then overwrite their
+    # pieces on top.
+    if getattr(mcfg, "genie_ckpt", None):
+        state = _load_genie_into_genie(state, mcfg.genie_ckpt)
     # Frozen pre-trained tokenizer: restore weights, mask out of optimizer.
     if mcfg.tokenizer_ckpt:
         state = _load_tokenizer_into_genie(state, mcfg.tokenizer_ckpt)
@@ -616,6 +623,42 @@ def _load_dynamics_into_genie(state: TrainState, ckpt: str) -> TrainState:
         f"{mismatched[:5]}"
     )
     params["model"]["dynamics_"] = jax.tree.map(jnp.asarray, dyn_params)
+    return state.replace(params=params)
+
+
+def _load_genie_into_genie(state: TrainState, ckpt: str) -> TrainState:
+    """Restore ALL `model/...` params from a previous `train genie`
+    checkpoint into a fresh Genie train state (full warm start), with the
+    same tree/leaf-shape guards as the subtree loaders. Unlike `--resume`,
+    the optimizer state and step counter start fresh (a new schedule for a
+    new phase)."""
+    import flax
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(os.path.abspath(ckpt)) as mgr:
+        step = mgr.latest_step()
+        assert step is not None, f"No checkpoint found at {ckpt}"
+        restored = mgr.restore(step)
+    genie_params = restored["params"]["model"]
+
+    params = flax.core.unfreeze(state.params)
+    want = params["model"]
+    assert jax.tree.structure(want) == jax.tree.structure(genie_params), (
+        "genie checkpoint tree does not match the genie config"
+    )
+    mismatched = [
+        str(path)
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(want)[0],
+            jax.tree.leaves(genie_params),
+        )
+        if tuple(a.shape) != tuple(np.shape(b))
+    ]
+    assert not mismatched, (
+        "genie checkpoint param shapes do not match the genie config: "
+        f"{mismatched[:5]}"
+    )
+    params["model"] = jax.tree.map(jnp.asarray, genie_params)
     return state.replace(params=params)
 
 

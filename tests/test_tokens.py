@@ -178,6 +178,84 @@ def test_staged_dynamics_warm_starts_genie(tmp_path):
         np.testing.assert_array_equal(got[k], want[k])
 
 
+def test_genie_ckpt_full_warm_start(tmp_path):
+    """`train genie` checkpoint -> fresh Genie train state via
+    `genie_ckpt`: the staged pipeline's final phase must keep the stage-2
+    latent-action codebook (the shard-trained dynamics was conditioned on
+    its action ids), not re-learn actions from scratch. All three model
+    subtrees must round-trip exactly."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from open_genie_tpu.train.loop import (
+        create_train_state,
+        make_optimizer,
+        save_checkpoint,
+    )
+    from open_genie_tpu.train.losses import GenieTrainModule
+    from open_genie_tpu.train.trainer import _load_genie_into_genie
+
+    genie_kwargs = dict(
+        tokenizer=dict(
+            enc_desc=(
+                ("spacetime_downsample", {
+                    "in_channels": 3, "kernel_size": 3, "out_channels": 8,
+                    "time_factor": 1, "space_factor": 4,
+                }),
+                ("causal-conv3d", {"in_channels": 8, "out_channels": 4,
+                                   "kernel_size": 1}),
+            ),
+            dec_desc=(
+                ("causal-conv3d", {"in_channels": 4, "out_channels": 8,
+                                   "kernel_size": 3}),
+                ("depth2spacetime_upsample", {
+                    "in_channels": 8, "out_channels": 3, "kernel_size": 3,
+                    "time_factor": 1, "space_factor": 4,
+                }),
+            ),
+            d_codebook=4,
+        ),
+        latent_action=dict(
+            enc_desc=(("space-time_attn",
+                       {"n_rep": 1, "n_embd": 8, "n_head": 1, "d_head": 8}),),
+            dec_desc=(("space-time_attn", {
+                "n_rep": 1, "n_embd": 8, "n_head": 1, "d_head": 8,
+                "has_ext": True, "time_attn_kw": {"key_dim": 2},
+            }),),
+            d_codebook=2, n_embd=8, inp_shape=(16, 16),
+        ),
+        dynamics=dict(
+            desc=(("space-time_attn",
+                   {"n_rep": 1, "n_embd": 16, "n_head": 2, "d_head": 8}),),
+            embed_dim=16,
+        ),
+    )
+    module = GenieTrainModule(genie=genie_kwargs)
+    sample = jnp.zeros((1, 4, 16, 16, 3), jnp.float32)
+    src = create_train_state(
+        module, sample, jax.random.PRNGKey(1), make_optimizer(),
+        init_kwargs={"method": module.full_init},
+    )
+    save_checkpoint(str(tmp_path / "genie_ckpt"), src, step=1)
+    want = flax.traverse_util.flatten_dict(
+        jax.device_get(src.params["model"])
+    )
+
+    dst = create_train_state(
+        module, sample, jax.random.PRNGKey(2), make_optimizer(),
+        init_kwargs={"method": module.full_init},
+    )
+    # Different seed -> different init; the load must overwrite it all.
+    dst = _load_genie_into_genie(dst, str(tmp_path / "genie_ckpt"))
+    got = flax.traverse_util.flatten_dict(
+        jax.device_get(dst.params["model"])
+    )
+    assert got.keys() == want.keys()
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k])
+
+
 def test_dynamics_dict_batches_shard_over_mesh():
     """Dict batches (token shards) train on a multi-device DP mesh: the
     sharding maps over pytree leaves and int leaves survive the bf16

@@ -67,6 +67,10 @@ if [ "$START" -le 5 ]; then
   python - <<'PY'
 import yaml
 cfg = yaml.safe_load(open("configs/r05_genie.yaml"))
+# Warm start from the FULL stage-2 joint checkpoint (keeps the trained
+# latent-action codebook the shard-trained dynamics was conditioned on),
+# then overwrite the dynamics trunk with the stage-4 staged pre-training.
+cfg["model"]["genie_ckpt"] = "checkpoints/r05_genie"
 cfg["model"]["dynamics_ckpt"] = "checkpoints/r05_dyn"
 cfg["model"]["optimizer"]["lr"] = 1e-4
 cfg["model"]["optimizer"]["warmup_steps"] = 50
