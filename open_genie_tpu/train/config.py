@@ -355,6 +355,9 @@ class TrainerConfig:
     limit_val_batches: Optional[int] = None
     ckpt_dir: str = "checkpoints"
     ckpt_every_n_steps: int = 500
+    # Periodic step dirs kept on disk (oldest GC'd at save time; the best
+    # checkpoint is separate and always kept). None = keep everything.
+    ckpt_max_keep: Optional[int] = 2
     seed: int = 31415
     n_data: Optional[int] = None   # mesh data axis (None = all devices)
     n_model: int = 1               # mesh model axis (tensor parallel)

@@ -280,12 +280,18 @@ class CheckpointWriter:
     happen on orbax's background thread while training continues.
     `close()` drains pending writes (call it before reading the dir)."""
 
-    def __init__(self, ckpt_dir: str):
+    def __init__(self, ckpt_dir: str, max_to_keep: Optional[int] = None):
         import orbax.checkpoint as ocp
         import os
 
         self._dir = os.path.abspath(ckpt_dir)
-        self._mgr = ocp.CheckpointManager(self._dir)
+        # max_to_keep garbage-collects the oldest step dirs at save time.
+        # A flagship checkpoint is ~5 GB (params + opt state + EMA); an
+        # uncapped 20k-step run at ckpt_every=2000 once filled 82 GB of a
+        # 252 GB disk. The latest step always survives; `best` lives in
+        # its own writer/dir and is never GC'd.
+        opts = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep)
+        self._mgr = ocp.CheckpointManager(self._dir, options=opts)
 
     def save(self, state: TrainState, step: Optional[int] = None) -> None:
         import orbax.checkpoint as ocp

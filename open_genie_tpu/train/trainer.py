@@ -866,7 +866,9 @@ def _run_loop(
     # Persistent async writers: saves overlap with training (the one-shot
     # blocking save would stall the step on disk I/O); drained in the
     # finally below so an exception mid-loop still commits staged saves.
-    ckpt_writer = CheckpointWriter(tcfg.ckpt_dir)
+    ckpt_writer = CheckpointWriter(
+        tcfg.ckpt_dir, max_to_keep=getattr(tcfg, "ckpt_max_keep", None)
+    )
     if not resume:
         # Fresh (non-resume) run claiming a reused ckpt_dir: stale steps
         # from an earlier run would outlive this one as `latest_step()`
@@ -943,8 +945,11 @@ def _run_loop(
                     if monitor_key in vm and vm[monitor_key] < best_val:
                         best_val = vm[monitor_key]
                         if best_writer is None:
+                            # best-so-far is monotone: only the newest
+                            # best matters, so keep exactly one.
                             best_writer = CheckpointWriter(
-                                os.path.join(tcfg.ckpt_dir, "best")
+                                os.path.join(tcfg.ckpt_dir, "best"),
+                                max_to_keep=1,
                             )
                         best_writer.save(jax.device_get(state), step)
                     if eval_hook is not None:

@@ -94,6 +94,36 @@ def test_async_writer_multiple_saves_restore_latest(tmp_path):
         np.testing.assert_array_equal(a[k], b[k])
 
 
+def test_writer_max_to_keep_prunes_oldest(tmp_path):
+    """max_to_keep GC's the oldest step dirs at save time (a flagship
+    checkpoint is ~5 GB; an uncapped run once filled a third of the disk)
+    while the latest step always survives and restores."""
+    import os
+
+    from open_genie_tpu.train.loop import CheckpointWriter
+
+    module = TokenizerTrainModule(
+        tokenizer=TOK, gan_loss_weight=0.0, perc_loss_weight=0.0,
+    )
+    sample = jnp.zeros((B, T, H, W, 3))
+    opt = make_optimizer(lr=1e-3)
+    state = jax.device_get(create_train_state(module, sample, KEY, opt))
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    writer = CheckpointWriter(ckpt_dir, max_to_keep=2)
+    for s in (1, 2, 3, 4):
+        writer.save(state.replace(step=s), s)
+    writer.close()
+
+    kept = sorted(
+        int(d) for d in os.listdir(ckpt_dir) if d.isdigit()
+    )
+    assert kept == [3, 4]
+    template = create_train_state(module, sample, jax.random.PRNGKey(9), opt)
+    _, step_no = restore_checkpoint(ckpt_dir, template)
+    assert step_no == 4
+
+
 def test_restore_missing_returns_step0(tmp_path):
     module = TokenizerTrainModule(
         tokenizer=TOK, gan_loss_weight=0.0, perc_loss_weight=0.0,
