@@ -410,6 +410,7 @@ class VideoTokenizer(nn.Module):
         beta: float = 100.0,
         train: bool = False,
         entropy_scale=1.0,
+        bit_balance_scale=1.0,
     ) -> Tuple[jnp.ndarray, dict]:
         """Full forward: encode -> quantize -> decode.
 
@@ -422,7 +423,8 @@ class VideoTokenizer(nn.Module):
         """
         enc = self.encode(video, train=train)
         (quant, idxs), quant_loss, aux = self.quant(
-            enc, beta=beta, training=train, entropy_scale=entropy_scale
+            enc, beta=beta, training=train, entropy_scale=entropy_scale,
+            bit_balance_scale=bit_balance_scale,
         )
         rec = self.decode(quant, train=train)
         return rec, {

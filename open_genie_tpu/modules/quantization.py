@@ -86,6 +86,7 @@ class LookupFreeQuantization(nn.Module):
         beta: float = 100.0,
         training: bool = False,
         entropy_scale=1.0,
+        bit_balance_scale=1.0,
     ) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], Optional[jnp.ndarray], dict]:
         """Quantize `(..., D)` features (channels-last).
 
@@ -133,5 +134,6 @@ class LookupFreeQuantization(nn.Module):
             num_codebooks=c,
             entropy_scale=entropy_scale,
             bit_balance_weight=self.bit_balance_weight,
+            bit_balance_scale=bit_balance_scale,
         )
         return (out, idxs), loss, aux

@@ -173,6 +173,14 @@ class TokenizerModelConfig:
     # codebook collapses to one code (observed twice on-chip, round 4).
     lfq_entropy_anneal_start: Optional[int] = None
     lfq_entropy_anneal_steps: int = 1000
+    # Anneal the bit-balance objective to a FLOOR (not zero: keep a weak
+    # restoring force against collapse) once the codebook is established.
+    # At convergence the balance term sits 2-3x above the rec loss and its
+    # gradient competes with reconstruction (measured r05 flagship:
+    # bal~0.02-0.03 vs rec~0.011 at 20k steps, rec flat from 4k on).
+    lfq_bit_balance_anneal_start: Optional[int] = None
+    lfq_bit_balance_anneal_steps: int = 1000
+    lfq_bit_balance_anneal_floor: float = 0.05
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     perceptual_model: str = "vgg16"
     perc_feat_layers: Tuple[str, ...] = (

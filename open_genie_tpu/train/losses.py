@@ -68,6 +68,7 @@ class TokenizerTrainModule(nn.Module):
         train: bool = True,
         gan_branch: str = "both",
         entropy_scale=1.0,
+        bit_balance_scale=1.0,
     ) -> Tuple[jnp.ndarray, dict]:
         """Full training loss on `(B, T, H, W, C)` video in [0, 1].
 
@@ -79,7 +80,8 @@ class TokenizerTrainModule(nn.Module):
         k_perc, k_gan = jax.random.split(key)
 
         rec, out = self.model(
-            video, beta=beta, train=train, entropy_scale=entropy_scale
+            video, beta=beta, train=train, entropy_scale=entropy_scale,
+            bit_balance_scale=bit_balance_scale,
         )
         quant_loss = out["quant_loss"]
 

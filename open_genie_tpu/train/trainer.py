@@ -218,16 +218,32 @@ def _entropy_anneal_kwargs(mcfg) -> dict:
     `make_train_step` evaluates callables on `state.step` inside the
     jitted step, so the anneal costs no recompiles.
     """
+    kwargs = {}
     start = getattr(mcfg, "lfq_entropy_anneal_start", None)
-    if start is None:
-        return {}
-    ramp = max(int(getattr(mcfg, "lfq_entropy_anneal_steps", 1000)), 1)
+    if start is not None:
+        ramp = max(int(getattr(mcfg, "lfq_entropy_anneal_steps", 1000)), 1)
 
-    def entropy_scale(step):
-        frac = (jnp.asarray(step, jnp.float32) - float(start)) / float(ramp)
-        return jnp.clip(1.0 - frac, 0.0, 1.0)
+        def entropy_scale(step, start=start, ramp=ramp):
+            frac = (jnp.asarray(step, jnp.float32) - float(start)) / float(ramp)
+            return jnp.clip(1.0 - frac, 0.0, 1.0)
 
-    return {"entropy_scale": entropy_scale}
+        kwargs["entropy_scale"] = entropy_scale
+
+    # Bit-balance anneal: 1 -> floor (not 0 -- keep a weak restoring
+    # force) once the codebook is established. At convergence the balance
+    # term is 2-3x the rec loss and competes with reconstruction.
+    b_start = getattr(mcfg, "lfq_bit_balance_anneal_start", None)
+    if b_start is not None:
+        b_ramp = max(int(getattr(mcfg, "lfq_bit_balance_anneal_steps", 1000)), 1)
+        floor = float(getattr(mcfg, "lfq_bit_balance_anneal_floor", 0.05))
+
+        def bit_balance_scale(step, start=b_start, ramp=b_ramp, floor=floor):
+            frac = (jnp.asarray(step, jnp.float32) - float(start)) / float(ramp)
+            return jnp.clip(1.0 - frac, floor, 1.0)
+
+        kwargs["bit_balance_scale"] = bit_balance_scale
+
+    return kwargs
 
 
 def build_tokenizer_module(mcfg: TokenizerModelConfig) -> TokenizerTrainModule:

@@ -191,3 +191,55 @@ def test_module_bit_balance_plumbed():
     (_, _), loss, aux = lfq.apply(params, x, training=True)
     assert "bit_balance" in aux and "avg_entropy" not in aux
     assert np.isfinite(float(loss))
+
+
+def test_bit_balance_scale_anneal_lever():
+    """`bit_balance_scale` multiplies the balance objective only: loss
+    shrinks with the scale, the aux metric stays unscaled (collapse must
+    remain visible after the anneal), and scale=1.0 is the exact default."""
+    from open_genie_tpu.ops.lfq import lfq_loss
+
+    x = jax.random.normal(KEY, (64, 18)) * 2.0
+    quant = jnp.where(x > 0, 1.0, -1.0)
+
+    def run(scale):
+        return lfq_loss(
+            x, quant, entropy_weight=0.0, bit_balance_weight=1.0,
+            bit_balance_scale=scale,
+        )
+
+    loss1, aux1 = run(1.0)
+    loss_lo, aux_lo = run(jnp.asarray(0.05))
+    loss_def, _ = lfq_loss(x, quant, entropy_weight=0.0, bit_balance_weight=1.0)
+    assert float(loss1) == float(loss_def)
+    np.testing.assert_allclose(float(aux1["bit_balance"]),
+                               float(aux_lo["bit_balance"]), rtol=1e-6)
+    expected = float(loss1) - 0.95 * float(aux1["bit_balance"])
+    np.testing.assert_allclose(float(loss_lo), expected, rtol=1e-5)
+
+
+def test_bit_balance_anneal_schedule():
+    """Trainer anneal kwargs: entropy ramps 1->0, bit balance ramps
+    1->floor; both evaluated on a traced step."""
+    from open_genie_tpu.train.config import TokenizerModelConfig
+    from open_genie_tpu.train.trainer import _entropy_anneal_kwargs
+
+    mcfg = TokenizerModelConfig(
+        lfq_bit_balance_anneal_start=100,
+        lfq_bit_balance_anneal_steps=100,
+        lfq_bit_balance_anneal_floor=0.05,
+    )
+    kw = _entropy_anneal_kwargs(mcfg)
+    assert set(kw) == {"bit_balance_scale"}
+    sched = kw["bit_balance_scale"]
+    np.testing.assert_allclose(float(sched(0)), 1.0)
+    np.testing.assert_allclose(float(sched(100)), 1.0)
+    np.testing.assert_allclose(float(sched(150)), 0.5)
+    np.testing.assert_allclose(float(sched(200)), 0.05)
+    np.testing.assert_allclose(float(sched(10_000)), 0.05)
+
+    mcfg2 = TokenizerModelConfig(lfq_entropy_anneal_start=10,
+                                 lfq_entropy_anneal_steps=10)
+    kw2 = _entropy_anneal_kwargs(mcfg2)
+    assert set(kw2) == {"entropy_scale"}
+    np.testing.assert_allclose(float(kw2["entropy_scale"](20)), 0.0)
