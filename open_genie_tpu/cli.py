@@ -413,6 +413,7 @@ def _make_data(args):
             num_videos=count, num_frames=args.timeout,
             height=args.size, width=args.size,
             seed=0 if split == "train" else 1,
+            motion_scale=getattr(args, "motion_scale", 1.0),
         )
         for i in range(count):
             write_mp4(os.path.join(out_dir, f"{i:04d}.mp4"), ds[i])
@@ -581,6 +582,10 @@ def main(argv=None):
     pd.add_argument("--num-videos", type=int, default=16)
     pd.add_argument("--timeout", type=int, default=100)
     pd.add_argument("--size", type=int, default=64)
+    pd.add_argument("--motion-scale", type=float, default=1.0,
+                    help="per-frame displacement multiplier for the "
+                    "synthetic source (~0.4 matches real 15-30 fps "
+                    "gameplay at 64 px; 1.0 = historical fixtures)")
     pd.set_defaults(fn=_make_data)
 
     args = p.parse_args(argv)
