@@ -111,9 +111,6 @@ def _generate(args):
 
     cfg = load_config(args.config, kind="genie")
     key = jax.random.PRNGKey(args.seed)
-    prompt = jnp.asarray(
-        SyntheticVideo(num_frames=1, height=args.size, width=args.size)[0]
-    )[None]
 
     sample = jnp.zeros((1, 4, args.size, args.size, 3), jnp.float32)
     genie_kwargs, params, _ = load_genie_params(
@@ -121,7 +118,41 @@ def _generate(args):
     )
     module = GenieTrainModule(genie=genie_kwargs)
 
-    actions = jax.random.randint(key, (1, args.frames + 1), 0, 2)
+    prompt = jnp.asarray(
+        SyntheticVideo(num_frames=1, height=args.size, width=args.size)[0]
+    )[None]
+    if getattr(args, "actions", None):
+        ids = [int(a) for a in args.actions.split(",")]
+        actions = jnp.asarray(ids, jnp.int32)[None]
+    elif getattr(args, "actions_from_data", False):
+        # Replay a real clip: prompt from its leading frames, actions from
+        # the latent-action encoder's ids on it. Arbitrary ids index
+        # embeddings the dynamics never trained against (LFQ action books
+        # concentrate on a few dozen codes), so random ids produce an
+        # uncontrolled rollout; emitted ids are the in-distribution drive.
+        from open_genie_tpu.models.genie import Genie
+        from open_genie_tpu.models.tokenizer import VideoTokenizer
+        from open_genie_tpu.train.trainer import build_dataset
+
+        dataset = build_dataset(cfg.data, split="val")
+        clip = jnp.asarray(np.asarray(dataset[0]))[None]
+        t_down = VideoTokenizer(
+            parent=None, **genie_kwargs["tokenizer"]
+        ).temporal_downsampling
+        prompt = clip[:, :t_down]
+        emitted = module.apply(
+            {"params": params}, clip,
+            method=lambda m, v: m.model.latent_action_(v, training=False)[0],
+        )
+        t_tok = max(1, clip.shape[1] // t_down)
+        aligned = np.asarray(Genie.align_actions(emitted, t_tok))[0]
+        need = 1 + args.frames  # 1 prompt token frame + generated frames
+        reps = int(np.ceil(need / max(len(aligned), 1)))
+        actions = jnp.asarray(np.tile(aligned, reps)[:need], jnp.int32)[None]
+        print(f"# replaying {len(aligned)} emitted action ids "
+              f"(pool {sorted(set(aligned.tolist()))})")
+    else:
+        actions = jax.random.randint(key, (1, args.frames + 1), 0, 2)
     video = module.apply(
         {"params": params},
         prompt, actions, key,
@@ -312,13 +343,26 @@ def _eval_genie(args):
         genie, params["model"], loader, key, max_batches=args.max_batches
     )
     if args.controllability_frames:
+        import numpy as np
+
         from open_genie_tpu.eval import action_controllability
 
-        prompt = jnp.asarray(next(iter(loader)))[:1, :1]
+        # Sample test actions from the ids the latent-action encoder
+        # actually emits on real data: ids outside the trained set index
+        # embeddings the dynamics never saw, and uniform-over-vocab
+        # sampling reads ~1.0 even for a controllable model.
+        batch = jnp.asarray(next(iter(loader)))
+        emitted = genie.apply(
+            {"params": params["model"]}, batch,
+            method=lambda m, v: m.latent_action_(v, training=False)[0],
+        )
+        pool = np.unique(np.asarray(emitted))
+        prompt = batch[:1, :1]
         report.update(action_controllability(
             genie, {"params": params["model"]}, prompt,
             jax.random.fold_in(key, 7),
             num_frames=args.controllability_frames,
+            action_pool=pool,
         ))
     print(json.dumps({k: round(float(v), 5) for k, v in report.items()}))
 
@@ -513,6 +557,12 @@ def main(argv=None):
                     help="use the checkpoint's EMA params")
     pg.add_argument("--size", type=int, default=64)
     pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--actions", default=None,
+                    help="comma-separated action ids driving the rollout")
+    pg.add_argument("--actions-from-data", action="store_true",
+                    help="prompt with a real val clip and replay the "
+                    "latent-action encoder's emitted ids (in-distribution "
+                    "drive; random ids index untrained embeddings)")
     pg.add_argument("--out", default="rollout.mp4")
     pg.set_defaults(fn=_generate)
 

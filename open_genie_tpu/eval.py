@@ -122,6 +122,7 @@ def action_controllability(
     num_frames: int = 8,
     steps_per_frame: int = 8,
     n_branches: int = 4,
+    action_pool: Optional[np.ndarray] = None,
 ) -> Dict[str, float]:
     """Do actions actually steer the rollout? (VERDICT r3 item 2.)
 
@@ -138,6 +139,13 @@ def action_controllability(
     Reference intent being measured: user-supplied action ids driving
     `dynamics.generate` (`/root/reference/genie/action.py:107-109`,
     `genie/genie.py:65-105` -- non-functional there, working here).
+
+    `action_pool` restricts the sampled action ids to a candidate set --
+    pass the ids the latent-action encoder actually emits on real data.
+    LFQ action codebooks concentrate on a few dozen of the 2^d ids; ids
+    outside the trained set index embeddings the dynamics never saw, so
+    uniform-over-vocab sampling measures response to untrained noise
+    vectors and reads ~1.0 even for a controllable model.
     """
     if prompt.ndim == 4:
         prompt = prompt[:, None]
@@ -153,10 +161,17 @@ def action_controllability(
 
     k_act, k_sample = jax.random.split(key)
     act_keys = jax.random.split(k_act, n_branches)
-    action_seqs = [
-        jax.random.randint(k, (b, num_frames + 1), 0, act_vocab)
-        for k in act_keys
-    ]
+    if action_pool is not None:
+        pool = jnp.asarray(np.asarray(action_pool).reshape(-1), jnp.int32)
+        action_seqs = [
+            pool[jax.random.randint(k, (b, num_frames + 1), 0, pool.shape[0])]
+            for k in act_keys
+        ]
+    else:
+        action_seqs = [
+            jax.random.randint(k, (b, num_frames + 1), 0, act_vocab)
+            for k in act_keys
+        ]
     sample_keys = jax.random.split(k_sample, n_branches)
 
     # Branch set A: distinct actions, shared sampling key.
@@ -186,6 +201,10 @@ def action_controllability(
         "action_to_noise_ratio": act_div / max(seed_div, 1e-8),
         "controllability_frames": float(num_frames),
         "controllability_branches": float(n_branches),
+        "controllability_pool": float(
+            len(np.asarray(action_pool).reshape(-1))
+            if action_pool is not None else act_vocab
+        ),
     }
 
 

@@ -186,3 +186,31 @@ def test_action_controllability_metric():
     )
     assert report["action_divergence"] == again["action_divergence"]
     assert report["seed_divergence"] == again["seed_divergence"]
+
+
+def test_action_controllability_pool_restriction():
+    """With `action_pool`, every sampled test action comes from the pool
+    (ids outside the trained set index embeddings the dynamics never saw;
+    uniform-over-vocab sampling reads ~1.0 even for a controllable
+    model). A single-id pool makes branch set A identical -> zero action
+    divergence, the tightest possible check that the pool is honored."""
+    from open_genie_tpu.eval import action_controllability
+    from open_genie_tpu.models.genie import Genie
+    from tests.test_genie import CFG
+
+    model = Genie(**CFG)
+    video = jnp.zeros((1, 4, 16, 16, 3))
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, video, key, method=model.init_full)["params"]
+    prompt = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(1, 1, 16, 16, 3)),
+        jnp.float32,
+    )
+    report = action_controllability(
+        model, {"params": params}, prompt, jax.random.PRNGKey(3),
+        num_frames=2, steps_per_frame=2, n_branches=2,
+        action_pool=np.asarray([5]),
+    )
+    assert report["controllability_pool"] == 1.0
+    assert report["action_divergence"] == 0.0
+    assert report["seed_divergence"] >= 0.0

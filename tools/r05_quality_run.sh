@@ -101,7 +101,8 @@ run_stage 7 2400 eval_genie.log \
 run_stage 8 1800 08_generate.log \
   python -m open_genie_tpu.cli generate \
     --config configs/r05_genie_final.yaml --ckpt checkpoints/r05_genie_final \
-    --frames 16 --steps-per-frame 25 --out samples/r05_rollout.mp4
+    --frames 16 --steps-per-frame 25 --actions-from-data \
+    --out samples/r05_rollout.mp4
 
 stage "9: assemble EVAL_r05.json"
 python - <<'PY'
