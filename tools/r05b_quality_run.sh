@@ -172,3 +172,4 @@ with open("EVAL_r05.json", "w") as f:
 print(json.dumps(art, indent=2)[:2000])
 PY
 stage "done"
+touch "$LOG/DONE"
