@@ -440,8 +440,23 @@ def _run_child(section: str, deadline: float, timeout: float, extra_args):
         tail = ((proc.stderr or "").strip().splitlines() or ["<no stderr>"])[-3:]
         for line in tail:
             print(f"# [{section}!] {line[:300]}")
-        print(f"# {section} FAILED rc={proc.returncode} after {dt:.0f}s")
-        return None, "fail", dt
+        # The tunnel's compile helper drops connections under load
+        # ("response body closed", HTTP 5xx on /remote_compile) -- those
+        # are transient, not program errors, and the round-4 extras lost
+        # the rollout section to exactly this at 140s (just over the old
+        # fast-fail line). Classify them so the retry pass always retries.
+        blob = (proc.stdout or "") + (proc.stderr or "")
+        transient = any(
+            m in blob
+            for m in (
+                "remote_compile", "response body closed",
+                "DEADLINE_EXCEEDED", "UNAVAILABLE:",
+            )
+        )
+        kind = "transient" if transient else "fail"
+        print(f"# {section} FAILED rc={proc.returncode} after {dt:.0f}s"
+              + (" (transient tunnel error)" if transient else ""))
+        return None, kind, dt
     print(f"# {section} ok in {dt:.0f}s: {json.dumps(result)}")
     return result, "ok", dt
 
@@ -634,13 +649,17 @@ def main():
                 continue
             kind, dt, _ = status.get(section, ("skipped", 0.0, tmo))
             remaining = deadline - time.monotonic()
-            fast_fail = kind == "fail" and dt < min(120.0, 0.5 * tmo)
+            fast_fail = (
+                kind == "transient"
+                or (kind == "fail" and dt < min(180.0, 0.5 * tmo))
+            )
             others_ok = all(
                 s in live or s in saved for s, _ in mandatory if s != section
             )
             if fast_fail and remaining > 180:
                 print(f"# retrying {section} (fast transient failure)")
-            elif kind in ("timeout", "fail") and others_ok and remaining > tmo + 60:
+            elif kind in ("timeout", "fail", "transient") and others_ok \
+                    and remaining > tmo + 60:
                 print(f"# retrying {section} (budget allows a full extra cap)")
             else:
                 continue

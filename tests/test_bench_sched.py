@@ -133,6 +133,49 @@ def test_fast_failure_gets_one_retry(harness):
     assert calls.count("tokenizer") == 2
 
 
+def test_transient_failure_retried_regardless_of_duration(harness):
+    """Round-5 extras lost the rollout section to a remote-compile 500
+    surfacing at ~140s -- over the fast-fail wall-clock line. A failure
+    classified `transient` must get its retry regardless of duration."""
+    install, run, calls = harness
+
+    def flaky(i):
+        if i == 0:
+            return None, "transient", 140.0
+        return {"rollout_fps": 58.0}, "ok", 5.0
+
+    install({
+        "rollout": flaky,
+        "tokenizer": ok(tokenizer_roundtrip_fps=210.0),
+        "tokenizer_train": ok(tokenizer_train_fps=60.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    final, _ = run()
+    assert final["value"] == 58.0
+    assert calls.count("rollout") == 2
+
+
+def test_run_child_classifies_tunnel_errors_transient(harness, monkeypatch):
+    """The real subprocess wrapper must label tunnel/compile-helper drops
+    transient (retryable) and genuine program errors as plain failures."""
+    class P:
+        returncode = 1
+        stdout = ""
+        stderr = ("jax.errors.JaxRuntimeError: INTERNAL: "
+                  "http://127.0.0.1:8103/remote_compile: read body: "
+                  "response body closed before all bytes were read")
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: P())
+    r, kind, _ = bench._run_child(
+        "rollout", time.monotonic() + 1000, 480.0, [])
+    assert r is None and kind == "transient"
+
+    P.stderr = "ValueError: shapes do not match"
+    r, kind, _ = bench._run_child(
+        "rollout", time.monotonic() + 1000, 480.0, [])
+    assert r is None and kind == "fail"
+
+
 def test_saved_results_fold_in_on_timeout(harness):
     install, run, calls = harness
     # Seed the persisted file with a fresh same-round tokenizer result.

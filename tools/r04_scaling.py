@@ -188,13 +188,30 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="canonical + one scaled shape only")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-shapes", action="store_true",
+                    help="train points only; seed shapes from the saved "
+                    "record (resume after a timeout mid-sweep)")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
+    # Persist incrementally under a NON-canonical key (see note below):
+    # the round-4 extras run timed out on the last train point and lost
+    # the whole (completed) shape sweep because saving only happened at
+    # the end.
+    from bench import _load_saved, _save_result  # noqa: E402
+
+    saved = (_load_saved().get("scaling") or {}).get("result") or {}
     shapes = [(64, 16), (64, 32), (128, 16)]
     if not args.quick:
         shapes.append((64, 64))  # the reference's intended clip length
     results = {"shapes": [], "train": []}
+    if args.skip_shapes:
+        results["shapes"] = saved.get("shapes", [])
+        shapes = []
+    done_train = {(t.get("size"), t.get("frames"), t.get("batch"))
+                  for t in saved.get("train", []) if "error" not in t}
+    results["train"] = [t for t in saved.get("train", [])
+                        if "error" not in t] if args.skip_shapes else []
     for size, frames in shapes:
         print(f"== tokenize/decode @ {size}x{size} T={frames}", flush=True)
         try:
@@ -204,11 +221,16 @@ def main():
             results["shapes"].append(
                 {"size": size, "frames": frames,
                  "error": f"{type(e).__name__}: {e}"[:300]})
+        _save_result("scaling", results)
     if not args.skip_train:
         # batch chosen to hold tokens-per-step roughly at the r04 training
         # shape (4*8@64px) so the program stays inside the remote compile
         # helper's size limit.
         for size, frames, batch in [(64, 8, 4), (64, 32, 1), (128, 8, 1)]:
+            if (size, frames, batch) in done_train:
+                print(f"== train step @ {size}x{size} T={frames} B={batch}: "
+                      "already recorded, SKIP", flush=True)
+                continue
             print(f"== train step @ {size}x{size} T={frames} B={batch}",
                   flush=True)
             try:
@@ -219,11 +241,11 @@ def main():
                 results["train"].append(
                     {"size": size, "frames": frames, "batch": batch,
                      "error": f"{type(e).__name__}: {e}"[:300]})
-
-    # Persist under a NON-canonical key: bench.py's fold only fills final
-    # metric names absent from live results, and none of these keys match
-    # the headline metric names, so the driver bench cannot be poisoned.
-    from bench import _save_result  # noqa: E402  (repo root is on sys.path)
+            # NON-canonical key: bench.py's fold only fills final metric
+            # names absent from live results, and none of these keys match
+            # the headline metric names, so the driver bench cannot be
+            # poisoned.
+            _save_result("scaling", results)
 
     _save_result("scaling", results)
     print(json.dumps(results, indent=1))
