@@ -378,6 +378,13 @@ def evaluate_tokenizer(
     stats = {
         "usage": float((counts > 0).mean()),
         "distinct_codes": float((counts > 0).sum()),
+        # `usage` is bounded above by num_tokens/vocab when the eval slice
+        # is smaller than the vocabulary (32 batches x 512 tokens = 16k
+        # draws from 2^18 codes caps it at 6.25%); report the fraction of
+        # that sampling ceiling actually reached so the artifact is
+        # interpretable on its own.
+        "usage_of_sampled_ceiling": float(
+            (counts > 0).sum() / max(min(n_tokens, vocab), 1)),
         "perplexity": float(np.exp(entropy)),
         "entropy_bits": entropy / float(np.log(2.0)),
         "factorized_entropy_bits": float(bit_h.sum()),

@@ -92,6 +92,11 @@ def test_evaluate_tokenizer_smoke():
     assert report["num_tokens"] == 2 * 2 * 8 * 8
     assert report["perplexity"] <= report["distinct_codes"] + 1e-6
     assert report["factorized_perplexity"] <= 2 ** 6 + 1e-6
+    # usage is normalized by the vocab; usage_of_sampled_ceiling by what
+    # this sample size could at most have hit (min(num_tokens, vocab)).
+    assert report["usage_of_sampled_ceiling"] == pytest.approx(
+        report["distinct_codes"] / min(report["num_tokens"], 2 ** 6))
+    assert report["usage"] <= report["usage_of_sampled_ceiling"] + 1e-9
 
 
 def test_evaluate_genie_smoke():
