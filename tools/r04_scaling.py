@@ -208,10 +208,11 @@ def main():
     if args.skip_shapes:
         results["shapes"] = saved.get("shapes", [])
         shapes = []
+    # Previously-recorded clean train points are skipped in the loop below,
+    # so they must carry over into the emitted artifact unconditionally.
     done_train = {(t.get("size"), t.get("frames"), t.get("batch"))
                   for t in saved.get("train", []) if "error" not in t}
-    results["train"] = [t for t in saved.get("train", [])
-                        if "error" not in t] if args.skip_shapes else []
+    results["train"] = [t for t in saved.get("train", []) if "error" not in t]
     for size, frames in shapes:
         print(f"== tokenize/decode @ {size}x{size} T={frames}", flush=True)
         try:
