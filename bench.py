@@ -697,6 +697,25 @@ def main():
         # batch2/frames4 program compiles reliably and still gives the
         # round a LIVE train number, labeled with its shape. Saved under
         # its own key so it can never shadow a canonical b4f8 backstop.
+        # Last-chance pass for the HEADLINE section: a null rollout_fps is
+        # the worst possible artifact (it is the driver's `value`), and the
+        # remote compile helper has been observed dropping the full-Genie
+        # program's cold compile twice in a row under load. As long as the
+        # budget holds and no backstop exists, keep trying.
+        extra_rollout = 0
+        while "rollout" not in live and "rollout" not in saved \
+                and extra_rollout < 3 and time.monotonic() < deadline - 540:
+            extra_rollout += 1
+            print("# extra rollout attempt (headline section, no backstop)")
+            r, kind, dt = _run_child("rollout", deadline, 480.0, passthru)
+            if r:
+                results.update(r)
+                live.add("rollout")
+                if not args.quick and _canonical_shapes("rollout", args):
+                    _save_result("rollout", r)
+            elif kind == "skipped":
+                break
+
         if "tokenizer_train" not in live and not args.quick \
                 and (args.train_batch, args.train_frames) == (4, 8) \
                 and time.monotonic() < deadline - 320:

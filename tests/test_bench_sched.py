@@ -176,6 +176,41 @@ def test_run_child_classifies_tunnel_errors_transient(harness, monkeypatch):
     assert r is None and kind == "fail"
 
 
+def test_headline_rollout_gets_last_chance_attempts(harness):
+    """With no rollout backstop, a persistently-dropped rollout compile
+    gets extra attempts while the budget holds -- a null headline value is
+    the worst artifact. Bounded: at most first pass + retry + 3 extra."""
+    install, run, calls = harness
+
+    def flaky(i):
+        if i < 3:
+            return None, "transient", 100.0
+        return {"rollout_fps": 57.0}, "ok", 5.0
+
+    install({
+        "rollout": flaky,
+        "tokenizer": ok(tokenizer_roundtrip_fps=210.0),
+        "tokenizer_train": ok(tokenizer_train_fps=60.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    final, _ = run(budget="5000")
+    assert final["value"] == 57.0
+    assert calls.count("rollout") == 4  # first pass + retry + 2 extra
+
+
+def test_headline_attempts_bounded_when_always_failing(harness):
+    install, run, calls = harness
+    install({
+        "rollout": lambda i: (None, "transient", 100.0),
+        "tokenizer": ok(tokenizer_roundtrip_fps=210.0),
+        "tokenizer_train": ok(tokenizer_train_fps=60.0),
+        "serve": ok(serve_ms_p50=20.0, serve_ms_p95=25.0),
+    })
+    final, _ = run(budget="5000")
+    assert final["value"] is None
+    assert calls.count("rollout") == 5  # first pass + retry + 3 extra
+
+
 def test_saved_results_fold_in_on_timeout(harness):
     install, run, calls = harness
     # Seed the persisted file with a fresh same-round tokenizer result.
