@@ -107,8 +107,23 @@ def main():
     ap.add_argument("--modes", default="full,dots,off")
     args = ap.parse_args()
 
-    results = []
+    # Merge with the saved record at the same shape: modes already
+    # measured cleanly are kept and skipped, so a single-mode rerun (e.g.
+    # --modes dots after a dropped remote compile) completes the A/B
+    # instead of clobbering it.
+    from bench import _load_saved, _save_result
+
+    shape = f"b{args.batch}f{args.frames}"
+    saved = (_load_saved().get("mfu_remat") or {}).get("result") or {}
+    prior = saved.get("modes", []) if saved.get("shape") == shape else []
+    name = {"True": "full", "False": "off"}
+    done = {name.get(str(m.get("remat")), str(m.get("remat")))
+            for m in prior if "error" not in m}
+    results = [m for m in prior if "error" not in m]
     for mode in args.modes.split(","):
+        if mode in done:
+            print(f"== remat={mode}: already recorded, SKIP", flush=True)
+            continue
         remat = {"full": True, "off": False}.get(mode, mode)
         print(f"== remat={mode}", flush=True)
         try:
@@ -118,11 +133,9 @@ def main():
             print(f"  FAILED: {type(e).__name__}: {e}", flush=True)
             results.append({"remat": mode,
                             "error": f"{type(e).__name__}: {e}"[:300]})
+        _save_result("mfu_remat", {"shape": shape, "modes": results})
 
-    from bench import _save_result
-
-    _save_result("mfu_remat", {"shape": f"b{args.batch}f{args.frames}",
-                               "modes": results})
+    _save_result("mfu_remat", {"shape": shape, "modes": results})
     print(json.dumps(results, indent=1))
 
 
